@@ -1,0 +1,122 @@
+"""Config presets mirroring BASELINE.json configs[0..4].
+
+The reference keeps every hyperparameter as an inline literal
+(SURVEY.md §5.6); here they are frozen dataclasses.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    T: int = 500
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    name: str = "refmlp"           # "refmlp" | "condunet"
+    param_dim: int = 29
+    hidden_dim: int = 128
+    cond_channels: int = 14
+    cond_length: int = 4693
+    # condunet-only knobs
+    base_width: int = 64
+    depth: int = 3
+    num_heads: int = 4
+    num_blocks: int = 4
+    use_pallas: bool = True        # pallas kernels on TPU, XLA fallback off-TPU
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 32
+    lr: float = 1e-4
+    num_epochs: int = 500
+    seed: int = 42
+    split: Tuple[float, float] = (0.8, 0.1)
+    deterministic_val: bool = True   # fixed t/eps per val example (parity
+                                     # mode: the reference re-randomizes,
+                                     # ERT_Conditional_Diffusion.py:331-333)
+    checkpoint_dir: str = "checkpoints"
+    keep_best_only: bool = False
+    log_every: int = 1
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleConfig:
+    uncertainty_samples: int = 50
+    temperature: float = 1.0
+    sampler: str = "ancestral"     # "ancestral" | "ddim"
+    ddim_steps: int = 50
+    ddim_eta: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data: int = 1                  # DP degree
+    model: int = 1                 # TP degree (reserved; denoiser is small)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    diffusion: DiffusionConfig = DiffusionConfig()
+    model: ModelConfig = ModelConfig()
+    train: TrainConfig = TrainConfig()
+    sample: SampleConfig = SampleConfig()
+    mesh: MeshConfig = MeshConfig()
+    name: str = "default"
+
+
+def _replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)
+
+
+# BASELINE.json configs[0]: reference default — small-grid conditional DDPM,
+# few epochs, fixed seed, CPU/single chip.
+REF_DEFAULT = ExperimentConfig(name="ref_default")
+
+# configs[1]: unconditional DDPM on synthetic Gaussian fields
+# (schedule/sampler tolerance check).
+SYNTHETIC_GAUSSIAN = ExperimentConfig(
+    name="synthetic_gaussian",
+    model=_replace(ModelConfig(), cond_length=256, cond_channels=4),
+    train=_replace(TrainConfig(), num_epochs=50, batch_size=64),
+)
+
+# configs[2]: full conditional training on the PFLOTRAN ensemble at native
+# grid resolution (4693 x 14).
+FULL_CONDITIONAL = ExperimentConfig(
+    name="full_conditional",
+    model=_replace(ModelConfig(), name="condunet"),
+)
+
+# configs[3]: DDIM 50-step accelerated sampling, 1000-member posterior
+# ensemble.
+DDIM_ENSEMBLE = ExperimentConfig(
+    name="ddim_ensemble",
+    model=_replace(ModelConfig(), name="condunet"),
+    sample=SampleConfig(uncertainty_samples=1000, sampler="ddim",
+                        ddim_steps=50),
+)
+
+# configs[4]: data-parallel multi-chip training + batched posterior
+# ensemble sampling on a v5e-8 slice.
+V5E8_DP = ExperimentConfig(
+    name="v5e8_dp",
+    model=_replace(ModelConfig(), name="condunet"),
+    train=_replace(TrainConfig(), batch_size=256),
+    sample=SampleConfig(uncertainty_samples=1000, sampler="ddim",
+                        ddim_steps=50),
+    mesh=MeshConfig(data=8, model=1),
+)
+
+PRESETS = {
+    c.name: c for c in
+    (REF_DEFAULT, SYNTHETIC_GAUSSIAN, FULL_CONDITIONAL, DDIM_ENSEMBLE,
+     V5E8_DP)
+}

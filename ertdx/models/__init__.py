@@ -1,0 +1,28 @@
+"""Flax denoisers behind one interface.
+
+Every model exposes:
+  * __call__(x, t, condition)        — full forward (train path),
+  * encode_condition(condition)      — condition context, computed once,
+  * denoise(x, t, cond_ctx)          — per-timestep denoise (sampler path).
+"""
+from __future__ import annotations
+
+from ..configs import ModelConfig
+from .refmlp import RefCondMLP
+from .condunet import CondUNet
+
+
+def build_model(cfg: ModelConfig):
+    if cfg.name == "refmlp":
+        return RefCondMLP(param_dim=cfg.param_dim, hidden_dim=cfg.hidden_dim,
+                          cond_channels=cfg.cond_channels)
+    if cfg.name == "condunet":
+        return CondUNet(param_dim=cfg.param_dim, hidden_dim=cfg.hidden_dim,
+                        cond_channels=cfg.cond_channels,
+                        base_width=cfg.base_width, depth=cfg.depth,
+                        num_heads=cfg.num_heads, num_blocks=cfg.num_blocks,
+                        use_pallas=cfg.use_pallas)
+    raise ValueError(f"unknown model {cfg.name!r}")
+
+
+__all__ = ["RefCondMLP", "CondUNet", "build_model"]

@@ -1,0 +1,225 @@
+"""`CondUNet` — the flagship TPU-native conditional denoiser.
+
+Per the north star (BASELINE.json): ResBlock convs with GroupNorm+SiLU,
+self-attention, sinusoidal time embeddings, and an ERT-measurement
+conditioning encoder, with fused Pallas kernels on the hot paths.
+
+Architecture (all feature-last, static shapes):
+  condition encoder (UNet-style down path over the 4693-length ERT stack):
+      Conv stem (s2) -> `depth` stages of [ResBlock(GN+SiLU) -> down conv s2]
+      -> Pallas flash self-attention over the deepest tokens
+      -> per-token projection to cond tokens (B, Lc, D)
+      -> masked mean-pool -> cond vector (B, D)
+  denoiser core (transformer over the 29 parameter tokens):
+      x (B, P) -> per-param lift + learned positional embedding (B, P, D)
+      -> `num_blocks` blocks of AdaLN-conditioned [self-attn over params,
+         cross-attn to cond tokens, MLP], conditioned on (t_emb + cond vec)
+      -> final norm -> per-token head -> eps_hat (B, P)
+
+The condition encoder output is a pytree ("cond ctx") so samplers compute
+it once per reverse chain (the reference re-encodes at every one of the
+500 steps, ERT_Conditional_Diffusion.py:110).
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import flash_attention, reference_attention
+from ..ops.groupnorm import groupnorm_silu
+from .common import get_timestep_embedding
+
+
+def _pad_len(l: int, multiple: int = 128) -> int:
+    return ((l + multiple - 1) // multiple) * multiple
+
+
+class GNSiLU(nn.Module):
+    """GroupNorm + SiLU via the fused Pallas kernel (XLA fallback)."""
+
+    num_groups: int = 8
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,))
+        beta = self.param("bias", nn.initializers.zeros, (c,))
+        return groupnorm_silu(x, gamma, beta, self.num_groups,
+                              1e-5, self.use_pallas)
+
+
+class ResBlock1D(nn.Module):
+    features: int
+    num_groups: int = 8
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        h = GNSiLU(self.num_groups, self.use_pallas)(x)
+        h = nn.Conv(self.features, (3,), padding="SAME")(h)
+        if temb is not None:
+            h = h + nn.Dense(self.features)(nn.silu(temb))[:, None, :]
+        h = GNSiLU(self.num_groups, self.use_pallas)(h)
+        h = nn.Conv(self.features, (3,), padding="SAME")(h)
+        skip = x if x.shape[-1] == self.features else nn.Conv(
+            self.features, (1,))(x)
+        return skip + h
+
+
+class SelfAttention1D(nn.Module):
+    """Pre-norm MHA over a padded/masked sequence; Pallas flash on TPU."""
+
+    num_heads: int
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, l, c = x.shape
+        dh = c // self.num_heads
+        h = nn.LayerNorm()(x)
+        qkv = nn.Dense(3 * c, use_bias=False)(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(z):
+            return z.reshape(b, l, self.num_heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        lp = _pad_len(l)
+        if lp != l:
+            pad = ((0, 0), (0, 0), (0, lp - l), (0, 0))
+            q = jnp.pad(q, pad)
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
+            base = mask if mask is not None else jnp.ones((b, l))
+            mask = jnp.pad(base, ((0, 0), (0, lp - l)))
+        out = flash_attention(q, k, v, mask, self.use_pallas)
+        out = out[:, :, :l, :].transpose(0, 2, 1, 3).reshape(b, l, c)
+        return x + nn.Dense(c)(out)
+
+
+class ConditionEncoder(nn.Module):
+    """ERT (B, L, C_surveys) -> cond tokens (B, Lc, D) + cond vector (B, D)."""
+
+    hidden_dim: int = 128
+    base_width: int = 64
+    depth: int = 3
+    num_heads: int = 4
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, condition) -> Tuple[jax.Array, jax.Array]:
+        h = nn.Conv(self.base_width, (5,), strides=(2,), padding="SAME")(
+            condition)
+        for i in range(self.depth):
+            w = self.base_width * (2 ** min(i + 1, 2))
+            h = ResBlock1D(w, use_pallas=self.use_pallas)(h)
+            h = nn.Conv(w, (3,), strides=(2,), padding="SAME")(h)
+        h = SelfAttention1D(self.num_heads, self.use_pallas)(h)
+        h = ResBlock1D(h.shape[-1], use_pallas=self.use_pallas)(h)
+        tokens = nn.Dense(self.hidden_dim)(h)            # (B, Lc, D)
+        pooled = jnp.mean(tokens, axis=1)                # (B, D)
+        pooled = nn.silu(nn.Dense(self.hidden_dim)(pooled))
+        return tokens, pooled
+
+
+class AdaLN(nn.Module):
+    """Adaptive LayerNorm: scale/shift from the conditioning vector."""
+
+    @nn.compact
+    def __call__(self, x, c):
+        d = x.shape[-1]
+        h = nn.LayerNorm(use_bias=False, use_scale=False)(x)
+        ss = nn.Dense(2 * d, kernel_init=nn.initializers.zeros)(nn.silu(c))
+        scale, shift = jnp.split(ss, 2, axis=-1)
+        return h * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class CoreBlock(nn.Module):
+    """AdaLN-conditioned [self-attn, cross-attn to cond tokens, MLP]."""
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, cond_tokens, cvec):
+        b, p, d = x.shape
+        dh = d // self.num_heads
+
+        def heads(z, l):
+            return z.reshape(b, l, self.num_heads, dh).transpose(0, 2, 1, 3)
+
+        # self-attention over the P parameter tokens (tiny: XLA path)
+        h = AdaLN()(x, cvec)
+        q = heads(nn.Dense(d, use_bias=False)(h), p)
+        k = heads(nn.Dense(d, use_bias=False)(h), p)
+        v = heads(nn.Dense(d, use_bias=False)(h), p)
+        a = reference_attention(q, k, v)
+        a = a.transpose(0, 2, 1, 3).reshape(b, p, d)
+        x = x + nn.Dense(d, kernel_init=nn.initializers.zeros)(a)
+
+        # cross-attention to the condition tokens
+        h = AdaLN()(x, cvec)
+        lc = cond_tokens.shape[1]
+        q = heads(nn.Dense(d, use_bias=False)(h), p)
+        k = heads(nn.Dense(d, use_bias=False)(cond_tokens), lc)
+        v = heads(nn.Dense(d, use_bias=False)(cond_tokens), lc)
+        a = reference_attention(q, k, v)
+        a = a.transpose(0, 2, 1, 3).reshape(b, p, d)
+        x = x + nn.Dense(d, kernel_init=nn.initializers.zeros)(a)
+
+        # MLP
+        h = AdaLN()(x, cvec)
+        h = nn.Dense(4 * d)(h)
+        h = nn.gelu(h)
+        x = x + nn.Dense(d, kernel_init=nn.initializers.zeros)(h)
+        return x
+
+
+class CondUNet(nn.Module):
+    param_dim: int = 29
+    hidden_dim: int = 128
+    cond_channels: int = 14
+    base_width: int = 64
+    depth: int = 3
+    num_heads: int = 4
+    num_blocks: int = 4
+    use_pallas: bool = True
+
+    def setup(self):
+        self.encoder = ConditionEncoder(self.hidden_dim, self.base_width,
+                                        self.depth, self.num_heads,
+                                        self.use_pallas)
+        self.lift = nn.Dense(self.hidden_dim)
+        self.pos_emb = self.param(
+            "pos_emb", nn.initializers.normal(0.02),
+            (self.param_dim, self.hidden_dim))
+        self.time_mlp1 = nn.Dense(self.hidden_dim)
+        self.time_mlp2 = nn.Dense(self.hidden_dim)
+        self.blocks = [CoreBlock(self.num_heads)
+                       for _ in range(self.num_blocks)]
+        self.out_norm = nn.LayerNorm()
+        self.head = nn.Dense(1, kernel_init=nn.initializers.zeros)
+
+    def encode_condition(self, condition) -> Tuple[jax.Array, jax.Array]:
+        return self.encoder(condition)
+
+    def embed_time(self, t: jax.Array) -> jax.Array:
+        emb = get_timestep_embedding(t, self.hidden_dim)
+        return self.time_mlp2(nn.silu(self.time_mlp1(emb)))
+
+    def denoise(self, x: jax.Array, t: jax.Array,
+                cond_ctx: Tuple[jax.Array, jax.Array]) -> jax.Array:
+        cond_tokens, cond_vec = cond_ctx
+        cvec = self.embed_time(t) + cond_vec
+        tokens = self.lift(x[..., None]) + self.pos_emb[None]
+        for blk in self.blocks:
+            tokens = blk(tokens, cond_tokens, cvec)
+        tokens = self.out_norm(tokens)
+        return self.head(tokens)[..., 0]
+
+    def __call__(self, x: jax.Array, t: jax.Array,
+                 condition: jax.Array) -> jax.Array:
+        return self.denoise(x, t, self.encode_condition(condition))

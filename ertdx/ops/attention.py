@@ -1,0 +1,168 @@
+"""Fused multi-head attention: Pallas flash kernel (TPU) + XLA fallback.
+
+The reference has no attention anywhere (SURVEY.md §5.7); this is the
+kernel layer for the flagship CondUNet denoiser (BASELINE.json north star:
+"self-attention ... with fused Pallas conv and attention kernels").
+
+Design:
+  * forward: tiled flash attention with online softmax — grid over
+    (batch*heads, q blocks), fori_loop over k blocks; logits never
+    materialize in HBM.
+  * backward: recompute via the XLA reference implementation (correct and
+    simple; a fused Pallas backward is a later-round optimization).
+  * dispatch: Pallas on TPU backends for aligned shapes, jnp elsewhere
+    (tests run the kernel in interpreter mode on CPU for bit-level parity).
+
+Shapes: q, k, v are (B, H, L, Dh); optional kv_mask is (B, Lk) with 1 for
+valid keys. L and Dh must be multiples of the block sizes for the Pallas
+path; callers pad (ertdx.models.condunet does) and mask.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def reference_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                        kv_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Plain XLA attention; the semantic ground truth for the kernel."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if kv_mask is not None:
+        bias = jnp.where(kv_mask[:, None, None, :], 0.0, _NEG_INF)
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash kernel
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
+                  scale: float):
+    """One (batch*head, q-block) program; online softmax over k blocks."""
+    q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
+    bq = q.shape[0]
+    d = q.shape[1]
+    lk = k_ref.shape[1]
+    n_kb = lk // block_k
+
+    def body(i, carry):
+        acc, m_i, l_i = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        m_blk = mask_ref[0, pl.ds(i * block_k, block_k)]
+        s = s + jnp.where(m_blk[None, :] > 0, 0.0, _NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v_blk,
+                                    preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, l_fin = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, kv_mask, *, block_q: int = 128,
+                   block_k: int = 128, interpret: bool = False):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    assert lq % block_q == 0 and lk % block_k == 0, (lq, lk)
+    bh = b * h
+    qr = q.reshape(bh, lq, d)
+    kr = k.reshape(bh, lk, d)
+    vr = v.reshape(bh, lk, d)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, lk), jnp.float32)
+    mr = jnp.repeat(kv_mask.astype(jnp.float32), h, axis=0)  # (bh, lk)
+
+    grid = (bh, lq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k,
+                          scale=1.0 / math.sqrt(d)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lq * lk * d,
+            bytes_accessed=(qr.size + kr.size + vr.size) * 4,
+            transcendentals=bh * lq * lk,
+        ),
+    )(qr, kr, vr, mr)
+    return out.reshape(b, h, lq, d)
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP (backward = XLA recompute)
+# ---------------------------------------------------------------------------
+
+def _supports_pallas(q) -> bool:
+    try:
+        platform = q.devices().pop().platform if hasattr(q, "devices") else \
+            jax.default_backend()
+    except Exception:
+        platform = jax.default_backend()
+    return platform == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention(q, k, v, kv_mask=None, use_pallas: bool = True):
+    return _fa_fwd(q, k, v, kv_mask, use_pallas)[0]
+
+
+def _fa_fwd(q, k, v, kv_mask, use_pallas):
+    if use_pallas and jax.default_backend() == "tpu" and _aligned(q, k):
+        out = _flash_forward(q, k, v, kv_mask)
+    else:
+        out = reference_attention(q, k, v, kv_mask)
+    return out, (q, k, v, kv_mask)
+
+
+def _fa_bwd(use_pallas, res, g):
+    q, k, v, kv_mask = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: reference_attention(q_, k_, v_,
+                                                            kv_mask),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def _aligned(q, k, block: int = 128) -> bool:
+    return (q.shape[2] % block == 0 and k.shape[2] % block == 0
+            and q.shape[3] in (64, 128, 256))
+
+
+def flash_attention_interpret(q, k, v, kv_mask=None):
+    """Interpreter-mode kernel run (CPU testing of the Pallas path)."""
+    return _flash_forward(q, k, v, kv_mask, interpret=True)

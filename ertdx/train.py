@@ -1,0 +1,260 @@
+"""L3 — Training: jitted train/eval steps, epoch loop, best-val checkpointing.
+
+Parity targets (reference: ERT_Conditional_Diffusion.py:282-365):
+  * Adam lr 1e-4, eps-MSE loss, T=500 linear schedule, per-step uniform t,
+  * per-epoch validation + best-val checkpoint with optimizer state and
+    loss histories,
+  * seeded reproducibility (threefry: bitwise-reproducible per seed).
+
+TPU-first design:
+  * one compiled train step (donated state, fused q_sample+model+loss+adam),
+  * batch sharded over the mesh 'data' axis, params replicated; XLA GSPMD
+    emits the grad all-reduce over ICI (SURVEY.md §2 parallelism table),
+  * ragged tail batches are zero-padded with a weight mask so shapes stay
+    static (no recompiles),
+  * deterministic validation option: fixed t/eps per val example across
+    epochs (the reference's val loss is a stochastic estimator,
+    ERT_Conditional_Diffusion.py:331-333).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from flax.training import train_state
+
+from . import data as data_lib
+from .configs import ExperimentConfig
+from .diffusion import DiffusionSchedule, get_diffusion_schedule, q_sample
+from .models import build_model
+from .parallel.mesh import batch_sharding, make_mesh, replicated
+from .utils import checkpoint as ckpt_lib
+from .utils.logging import MetricsLogger
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState; `step` counts optimizer updates."""
+
+
+def create_train_state(model: nn.Module, key: jax.Array, lr: float,
+                       batch_size: int, cond_shape: Tuple[int, int],
+                       param_dim: int) -> TrainState:
+    x = jnp.zeros((batch_size, param_dim), jnp.float32)
+    t = jnp.zeros((batch_size,), jnp.int32)
+    cond = jnp.zeros((batch_size,) + tuple(cond_shape), jnp.float32)
+    variables = model.init(key, x, t, cond)
+    tx = optax.adam(lr)
+    return TrainState.create(apply_fn=model.apply,
+                             params=variables["params"], tx=tx)
+
+
+def weighted_eps_mse(eps_hat: jax.Array, eps: jax.Array,
+                     w: jax.Array) -> jax.Array:
+    """Mean squared eps error, weighting out padded rows.
+
+    With w == 1 everywhere this equals the reference's nn.MSELoss
+    (ERT_Conditional_Diffusion.py:295,316)."""
+    per_ex = jnp.mean((eps_hat - eps) ** 2, axis=-1)
+    return jnp.sum(per_ex * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
+                    donate: bool = True):
+    T = schedule.num_steps
+    alpha_bar = schedule.alpha_bar
+
+    def step(state: TrainState, x0: jax.Array, cond: jax.Array,
+             w: jax.Array, key: jax.Array):
+        B = x0.shape[0]
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (B,), 0, T, dtype=jnp.int32)
+        noise = jax.random.normal(kn, x0.shape, x0.dtype)
+        x_noisy = q_sample(x0, t, noise, alpha_bar)
+
+        def loss_fn(params):
+            eps_hat = apply_fn({"params": params}, x_noisy, t, cond)
+            return weighted_eps_mse(eps_hat, noise, w)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(apply_fn: Callable, schedule: DiffusionSchedule):
+    T = schedule.num_steps
+    alpha_bar = schedule.alpha_bar
+
+    def step(params, x0: jax.Array, cond: jax.Array, w: jax.Array,
+             key: jax.Array):
+        B = x0.shape[0]
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (B,), 0, T, dtype=jnp.int32)
+        noise = jax.random.normal(kn, x0.shape, x0.dtype)
+        x_noisy = q_sample(x0, t, noise, alpha_bar)
+        eps_hat = apply_fn({"params": params}, x_noisy, t, cond)
+        return weighted_eps_mse(eps_hat, noise, w)
+
+    return jax.jit(step)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    state: TrainState
+    best_val_loss: float
+    best_epoch: int
+    train_history: list
+    val_history: list
+    steps_per_sec: float
+
+
+def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
+          mesh=None, logger: Optional[MetricsLogger] = None,
+          checkpoint_dir: Optional[str] = None) -> TrainResult:
+    """Full training loop with best-val checkpointing.
+
+    Mirrors the reference epoch loop (ERT_Conditional_Diffusion.py:305-356)
+    with deterministic splits, static-shape padded batches, and an optional
+    multi-chip mesh.
+    """
+    tcfg = cfg.train
+    logger = logger or MetricsLogger(echo=False)
+    checkpoint_dir = checkpoint_dir or tcfg.checkpoint_dir
+
+    n = len(dataset)
+    train_idx, val_idx, _ = data_lib.split_dataset(n, tcfg.seed, tcfg.split)
+
+    model = build_model(cfg.model)
+    schedule = get_diffusion_schedule(cfg.diffusion.T,
+                                      cfg.diffusion.beta_start,
+                                      cfg.diffusion.beta_end)
+    root_key = jax.random.key(tcfg.seed)
+    init_key, train_key, val_key = jax.random.split(root_key, 3)
+
+    state = create_train_state(model, init_key, tcfg.lr, tcfg.batch_size,
+                               dataset.cond_shape, dataset.param_dim)
+
+    data_shard = None
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+        data_shard = batch_sharding(mesh)
+
+    train_step = make_train_step(model.apply, schedule)
+    eval_step = make_eval_step(model.apply, schedule)
+
+    x0_tr, cond_tr = dataset.params_u[train_idx], dataset.conditions[train_idx]
+    x0_va, cond_va = dataset.params_u[val_idx], dataset.conditions[val_idx]
+
+    best_val = float("inf")
+    best_epoch = -1
+    train_hist, val_hist = [], []
+    step_count, step_time = 0, 0.0
+
+    for epoch in range(tcfg.num_epochs):
+        # ---- train ----
+        t_ep0 = time.perf_counter()
+        running, seen = 0.0, 0.0
+        order = np.random.default_rng(
+            np.random.SeedSequence([tcfg.seed, 7, epoch])).permutation(
+                len(x0_tr))
+        for bi, s in enumerate(range(0, len(x0_tr), tcfg.batch_size)):
+            idx = order[s:s + tcfg.batch_size]
+            nb = len(idx)
+            x0, cond, w = data_lib.pad_batch(x0_tr[idx], cond_tr[idx],
+                                             tcfg.batch_size)
+            x0, cond, w = _put(x0, cond, w, data_shard)
+            key = jax.random.fold_in(jax.random.fold_in(train_key, epoch), bi)
+            state, loss = train_step(state, x0, cond, w, key)
+            running += float(loss) * nb
+            seen += nb
+            step_count += 1
+        jax.block_until_ready(state.params)
+        step_time += time.perf_counter() - t_ep0
+        epoch_loss = running / max(seen, 1.0)
+
+        # ---- validate ----
+        vrunning, vseen = 0.0, 0.0
+        for bi, s in enumerate(range(0, len(x0_va), tcfg.batch_size)):
+            x0, cond, w = data_lib.pad_batch(
+                x0_va[s:s + tcfg.batch_size], cond_va[s:s + tcfg.batch_size],
+                tcfg.batch_size)
+            nb = int(w.sum())
+            x0, cond, w = _put(x0, cond, w, data_shard)
+            if tcfg.deterministic_val:
+                key = jax.random.fold_in(val_key, bi)
+            else:
+                key = jax.random.fold_in(
+                    jax.random.fold_in(val_key, epoch), bi)
+            vloss = eval_step(state.params, x0, cond, w, key)
+            vrunning += float(vloss) * nb
+            vseen += nb
+        val_loss = vrunning / max(vseen, 1.0)
+
+        train_hist.append(epoch_loss)
+        val_hist.append(val_loss)
+
+        improved = val_loss < best_val
+        if improved:
+            best_val = val_loss
+            best_epoch = epoch
+            if checkpoint_dir:
+                ckpt_lib.save_checkpoint(
+                    f"{checkpoint_dir}/best",
+                    {"params": state.params,
+                     "opt_state": state.opt_state,
+                     "step": state.step},
+                    {"epoch": epoch + 1, "best_val_loss": best_val,
+                     "train_history": train_hist, "val_history": val_hist,
+                     "param_dim": dataset.param_dim,
+                     "model": cfg.model.name},
+                    scalers={"param_scaler": dataset.param_scaler,
+                             "ert_scaler": dataset.ert_scaler})
+        if (epoch + 1) % tcfg.log_every == 0:
+            logger.log({"epoch": epoch + 1, "train_loss": epoch_loss,
+                        "val_loss": val_loss, "best_val": best_val,
+                        "improved": int(improved)})
+
+    sps = step_count / step_time if step_time > 0 else float("nan")
+    return TrainResult(state, best_val, best_epoch, train_hist, val_hist,
+                       sps)
+
+
+def load_best_model(checkpoint_dir: str, cfg: ExperimentConfig,
+                    dataset_or_shapes=None):
+    """Restore the best checkpoint; returns (state, meta, scalers).
+
+    Reference analogue: load_best_model (ERT_Conditional_Diffusion.py:369-377).
+    """
+    model = build_model(cfg.model)
+    if dataset_or_shapes is None:
+        cond_shape = (cfg.model.cond_length, cfg.model.cond_channels)
+        param_dim = cfg.model.param_dim
+    elif isinstance(dataset_or_shapes, data_lib.ERTDataset):
+        cond_shape = dataset_or_shapes.cond_shape
+        param_dim = dataset_or_shapes.param_dim
+    else:
+        cond_shape, param_dim = dataset_or_shapes
+    state = create_train_state(model, jax.random.key(0), cfg.train.lr,
+                               cfg.train.batch_size, cond_shape, param_dim)
+    template = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}
+    restored, meta, scalers = ckpt_lib.restore_checkpoint(
+        f"{checkpoint_dir}/best", template)
+    state = state.replace(params=restored["params"],
+                          opt_state=restored["opt_state"],
+                          step=restored["step"])
+    return state, meta, scalers
+
+
+def _put(x0, cond, w, sharding):
+    if sharding is None:
+        return jax.device_put(x0), jax.device_put(cond), jax.device_put(w)
+    return (jax.device_put(x0, sharding), jax.device_put(cond, sharding),
+            jax.device_put(w, sharding))

@@ -1,0 +1,88 @@
+"""Checkpointing: best-val + resumable step checkpoints, incl. scaler state.
+
+The reference saves only a best-val torch dict and never resumes
+(ERT_Conditional_Diffusion.py:300-354, 369-377) and silently depends on
+refitting sklearn scalers on identical data (SURVEY.md §5.4). Here a
+checkpoint is a directory holding:
+  state.msgpack   — flax-serialized train state (params, opt state, step)
+  meta.json       — epoch, best_val_loss, histories, config echo
+  scalers.npz     — MinMax scaler arrays for params and ERT
+
+msgpack via flax.serialization is the primary format (fast, dependency-
+light, works on any backend); `save_orbax`/`restore_orbax` provide an
+orbax-backed variant for async/multi-host use.
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+from flax import serialization
+
+from ..transforms import MinMaxScaler
+
+
+def save_checkpoint(ckpt_dir, state, meta: Dict[str, Any],
+                    scalers: Optional[Dict[str, MinMaxScaler]] = None
+                    ) -> None:
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    (ckpt_dir / "state.msgpack").write_bytes(serialization.to_bytes(state))
+    with open(ckpt_dir / "meta.json", "w") as f:
+        json.dump(meta, f, indent=2, default=_json_default)
+    if scalers:
+        arrays = {}
+        for name, sc in scalers.items():
+            for k, v in sc.state_dict().items():
+                arrays[f"{name}.{k}"] = v
+        np.savez(ckpt_dir / "scalers.npz", **arrays)
+
+
+def restore_checkpoint(ckpt_dir, state_template
+                       ) -> Tuple[Any, Dict[str, Any],
+                                  Dict[str, MinMaxScaler]]:
+    ckpt_dir = Path(ckpt_dir)
+    raw = (ckpt_dir / "state.msgpack").read_bytes()
+    state = serialization.from_bytes(state_template, raw)
+    meta = {}
+    meta_path = ckpt_dir / "meta.json"
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+    scalers = {}
+    sc_path = ckpt_dir / "scalers.npz"
+    if sc_path.exists():
+        with np.load(sc_path) as z:
+            names = sorted({k.split(".")[0] for k in z.files})
+            for name in names:
+                scalers[name] = MinMaxScaler.from_state_dict(
+                    {k.split(".", 1)[1]: z[k] for k in z.files
+                     if k.startswith(name + ".")})
+    return state, meta, scalers
+
+
+def _json_default(o):
+    if isinstance(o, (np.floating, np.integer)):
+        return o.item()
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+# -- orbax variant (async-capable, multi-host) -------------------------------
+
+def save_orbax(ckpt_dir, state) -> None:
+    import orbax.checkpoint as ocp
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.fspath(ckpt_dir / "orbax"), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_orbax(ckpt_dir, state_template):
+    import orbax.checkpoint as ocp
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.fspath(ckpt_dir / "orbax"), state_template)

@@ -1,0 +1,124 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ertdx.diffusion import (ddim_timesteps, get_diffusion_schedule, q_sample,
+                             sample_ancestral, sample_ddim)
+
+
+def test_schedule_closed_form():
+    T = 500
+    sch = get_diffusion_schedule(T)
+    betas = np.linspace(1e-4, 0.02, T, dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(sch.betas), betas, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sch.alphas), 1 - betas, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sch.alpha_bar),
+                               np.cumprod(1 - betas.astype(np.float64)),
+                               rtol=1e-4)
+    assert sch.num_steps == T
+    assert np.asarray(sch.alpha_bar)[-1] < 0.01  # near-pure noise at T
+
+
+def test_q_sample_formula():
+    sch = get_diffusion_schedule(100)
+    x0 = jnp.ones((4, 29))
+    noise = jnp.full((4, 29), 2.0)
+    t = jnp.array([0, 10, 50, 99])
+    out = q_sample(x0, t, noise, sch.alpha_bar)
+    ab = np.asarray(sch.alpha_bar)[np.asarray(t)]
+    expected = np.broadcast_to(
+        np.sqrt(ab)[:, None] * 1.0 + np.sqrt(1 - ab)[:, None] * 2.0, (4, 29))
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)
+
+
+def test_q_sample_statistics():
+    """Marginal of q(x_t|x0) is N(sqrt(ab)x0, (1-ab)I)."""
+    sch = get_diffusion_schedule(500)
+    key = jax.random.key(0)
+    n = 20000
+    x0 = jnp.full((n, 2), 0.7)
+    noise = jax.random.normal(key, (n, 2))
+    t = jnp.full((n,), 250, jnp.int32)
+    xt = np.asarray(q_sample(x0, t, noise, sch.alpha_bar))
+    ab = float(sch.alpha_bar[250])
+    assert abs(xt.mean() - np.sqrt(ab) * 0.7) < 0.02
+    assert abs(xt.std() - np.sqrt(1 - ab)) < 0.02
+
+
+def _perfect_denoiser(mu):
+    """For x0 ~ N(mu, I) the posterior-optimal eps-predictor is linear:
+    E[eps | x_t] = (x_t - sqrt(ab_t) mu) * sqrt(1-ab_t) / (ab_t + 1 - ab_t)
+                 = (x_t - sqrt(ab_t) mu) * sqrt(1-ab_t) / (x_t variance)."""
+    def make(schedule):
+        ab = schedule.alpha_bar
+
+        def fn(x, t):
+            ab_t = ab[t][:, None]
+            var = ab_t * 1.0 + (1 - ab_t)  # = 1 for unit-variance data
+            return (x - jnp.sqrt(ab_t) * mu) * jnp.sqrt(1 - ab_t) / var
+
+        return fn
+    return make
+
+
+def test_ancestral_recovers_gaussian():
+    """Config[1]-style tolerance check: with the analytically optimal
+    denoiser for N(mu, I) data, ancestral sampling reproduces N(mu, I)."""
+    mu = 1.5
+    sch = get_diffusion_schedule(500)
+    denoise = _perfect_denoiser(mu)(sch)
+    key = jax.random.key(7)
+    out = sample_ancestral(denoise, key, (4000, 2), sch)
+    x = np.asarray(out)
+    assert abs(x.mean() - mu) < 0.1
+    assert abs(x.std() - 1.0) < 0.1
+
+
+def test_ddim_recovers_gaussian():
+    mu = -0.8
+    sch = get_diffusion_schedule(500)
+    denoise = _perfect_denoiser(mu)(sch)
+    out = sample_ddim(denoise, jax.random.key(3), (4000, 2), sch,
+                      num_steps=50, eta=0.0)
+    x = np.asarray(out)
+    assert abs(x.mean() - mu) < 0.1
+    assert abs(x.std() - 1.0) < 0.15
+
+
+def test_ddim_timesteps():
+    ts = np.asarray(ddim_timesteps(500, 50))
+    assert ts.shape == (50,)
+    assert ts[0] == 0 and ts[-1] == 490
+    assert (np.diff(ts) == 10).all()
+
+
+def test_samplers_reproducible():
+    sch = get_diffusion_schedule(50)
+    denoise = _perfect_denoiser(0.0)(sch)
+    key = jax.random.key(11)
+    a = sample_ancestral(denoise, key, (8, 4), sch)
+    b = sample_ancestral(denoise, key, (8, 4), sch)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = sample_ancestral(denoise, jax.random.key(12), (8, 4), sch)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_truncate_steps_compat():
+    """Reference `num_steps` truncation: starts the chain at t=k-1."""
+    sch = get_diffusion_schedule(500)
+    denoise = _perfect_denoiser(0.0)(sch)
+    out = sample_ancestral(denoise, jax.random.key(0), (16, 3), sch,
+                           truncate_steps=10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_temperature_scales_stochasticity():
+    sch = get_diffusion_schedule(100)
+    denoise = _perfect_denoiser(0.5)(sch)
+    cold = np.asarray(sample_ancestral(denoise, jax.random.key(5), (2000, 2),
+                                       sch, temperature=0.0))
+    warm = np.asarray(sample_ancestral(denoise, jax.random.key(5), (2000, 2),
+                                       sch, temperature=1.0))
+    assert np.isfinite(cold).all() and np.isfinite(warm).all()
+    # zero temperature removes the per-step noise -> tighter ensemble
+    assert cold.std() < 0.8 * warm.std()
