@@ -1,0 +1,279 @@
+"""`ertdiff` CLI — realizes the README's promised interface.
+
+The reference README describes `ertdiff simulate|gather-data|train|sample`
+(README.md:20-28) but ships no CLI; here it exists, plus `generate-design`,
+`metrics`, `plot`, and `bench`.
+
+Usage: python -m ertdx.cli <command> [options]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_cfg(args) -> "configs.ExperimentConfig":
+    from . import configs
+    cfg = configs.PRESETS[args.preset]
+    overrides = {}
+    if getattr(args, "epochs", None) is not None:
+        overrides["num_epochs"] = args.epochs
+    if getattr(args, "batch_size", None) is not None:
+        overrides["batch_size"] = args.batch_size
+    if getattr(args, "seed", None) is not None:
+        overrides["seed"] = args.seed
+    if getattr(args, "checkpoint_dir", None):
+        overrides["checkpoint_dir"] = args.checkpoint_dir
+    if overrides:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **overrides))
+    if getattr(args, "model", None):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, name=args.model))
+    return cfg
+
+
+def cmd_generate_design(args) -> int:
+    from .doe import SurrogateDataGenerator
+    gen = SurrogateDataGenerator(seed=args.seed)
+    params = gen.generate_training_samples(
+        args.n, method=args.method, plot_diagnostics=args.diagnostics,
+        output_dir=str(Path(args.out).parent))
+    np.save(args.out, params[..., None])  # (N, 29, 1) reference layout
+    print(f"wrote {args.out}: {params.shape[0]} x {params.shape[1]} design")
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    from .data import SrvFormat
+    from .physics import (ForwardModelRunner, PflotranSimulator,
+                          RunnerConfig, SimulationManager)
+    sim = PflotranSimulator(args.template, args.prefix, mode=args.mode,
+                            output_dir=args.workdir)
+    cfg = RunnerConfig(pflotran_path=args.pflotran, timeout_s=args.timeout,
+                       max_concurrent=args.concurrency,
+                       max_retries=args.max_retries,
+                       n_surveys=args.surveys,
+                       measurements_per_survey=args.measurements,
+                       srv_format=SrvFormat(skip_header=args.srv_skip_header,
+                                            usecols=args.srv_usecols),
+                       use_mpi=not args.no_mpi)
+    mgr = SimulationManager(base_dir=args.results_dir)
+    runner = ForwardModelRunner(sim, cfg=cfg, workdir=args.workdir,
+                                manager=mgr)
+    params = np.load(args.params)
+    if params.ndim == 3:
+        params = params.squeeze(-1)
+    runner.run_simulations_with_params(params)
+    print(f"results under {mgr.base_output_dir}")
+    return 0
+
+
+def cmd_gather_data(args) -> int:
+    from .data import load_simulation_data, refold_ert_vector
+    data, params = load_simulation_data(args.results_dir, args.n)
+    folded = np.stack([refold_ert_vector(d.squeeze(), args.surveys)
+                       for d in data])
+    np.save(args.out_ert, folded)
+    np.save(args.out_params, params[..., None]
+            if params.ndim == 2 else params)
+    print(f"wrote {args.out_ert} {folded.shape} and {args.out_params} "
+          f"{params.shape}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from . import data as data_lib
+    from .train import train
+    from .utils.logging import MetricsLogger
+    from .parallel.mesh import make_mesh
+    cfg = _load_cfg(args)
+    sim_param = np.load(args.params)
+    ert = np.load(args.ert)
+    ds = data_lib.prepare_dataset(sim_param, ert)
+    mesh = make_mesh(data=args.mesh_data) if args.mesh_data else None
+    logger = MetricsLogger(args.log_file, echo=True)
+    res = train(cfg, ds, mesh=mesh, logger=logger,
+                checkpoint_dir=cfg.train.checkpoint_dir)
+    print(f"best val loss {res.best_val_loss:.6f} at epoch "
+          f"{res.best_epoch + 1}; {res.steps_per_sec:.2f} steps/sec")
+    if args.plot:
+        from .plots import plot_loss_curves
+        plot_loss_curves(res.train_history, res.val_history,
+                         path=str(Path(cfg.train.checkpoint_dir)
+                                  / "loss_curves.png"))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    import jax
+    from . import data as data_lib
+    from .diffusion import get_diffusion_schedule
+    from .models import build_model
+    from .sample import posterior_over_dataset
+    from .train import load_best_model
+    from .parallel.mesh import make_mesh
+    cfg = _load_cfg(args)
+    sim_param = np.load(args.params)
+    ert = np.load(args.ert)
+    state, meta, scalers = load_best_model(args.checkpoint_dir, cfg, None)
+    ds = data_lib.prepare_dataset(sim_param, ert,
+                                  param_scaler=scalers.get("param_scaler"),
+                                  ert_scaler=scalers.get("ert_scaler"))
+    _, _, test_idx = data_lib.split_dataset(len(ds), cfg.train.seed,
+                                            cfg.train.split)
+    model = build_model(cfg.model)
+    sch = get_diffusion_schedule(cfg.diffusion.T, cfg.diffusion.beta_start,
+                                 cfg.diffusion.beta_end)
+    mesh = make_mesh(data=args.mesh_data) if args.mesh_data else None
+    pred, mask = posterior_over_dataset(
+        model, state.params, ds.conditions[test_idx], sch,
+        jax.random.key(args.seed or cfg.train.seed), ds.param_scaler,
+        n_realizations=args.realizations, batch_size=cfg.train.batch_size,
+        scfg=cfg.sample, mesh=mesh)
+    np.save(args.out, pred)
+    np.save(Path(args.out).with_name("valid_mask.npy"), mask)
+    # true params for UQ comparison
+    from .transforms import inverse_transform
+    true = ds.param_scaler.inverse(
+        inverse_transform(ds.params_u[test_idx].astype(np.float64)))
+    np.save(Path(args.out).with_name("true_params.npy"), true)
+    print(f"wrote {args.out} {pred.shape}; valid fraction "
+          f"{mask.mean():.3f}")
+    return 0
+
+
+def cmd_metrics(args) -> int:
+    from .metrics import per_parameter_uq, uq_scores
+    from .utils.logging import write_csv
+    pred = np.load(args.pred)
+    true = np.load(args.true)
+    joint = uq_scores(pred, true)
+    print(json.dumps({k: float(v) for k, v in joint.items()
+                      if np.isscalar(v) or getattr(v, "ndim", 1) == 0},
+                     indent=2))
+    rows = per_parameter_uq(pred, true)
+    write_csv(args.out, rows)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_plot(args) -> int:
+    from . import plots
+    from .metrics import ensemble_statistics, wsse_per_simulation
+    sim = np.load(args.sim)
+    cond = np.load(args.conditional)
+    out = Path(args.out_dir)
+    stats = ensemble_statistics(sim, cond)
+    plots.plot_ensemble_grid(stats, cond, path=str(out / "ensemble_grid.png"))
+    wsse = wsse_per_simulation(sim, cond)
+    plots.plot_wsse_per_survey(wsse, path=str(out / "wsse.png"))
+    plots.plot_best_sim_panels(sim, cond, wsse.sum(axis=1),
+                               path=str(out / "best_sims.png"))
+    print(f"figures under {out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+    return subprocess.call([sys.executable,
+                            str(Path(__file__).resolve().parent.parent
+                                / "bench.py")])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ertdiff",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("generate-design", help="LHS/Sobol parameter design")
+    g.add_argument("--n", type=int, default=5000)
+    g.add_argument("--method", choices=["lhs", "sobol"], default="sobol")
+    g.add_argument("--seed", type=int, default=None)
+    g.add_argument("--out", default="sim_param_design.npy")
+    g.add_argument("--diagnostics", action="store_true")
+    g.set_defaults(fn=cmd_generate_design)
+
+    s = sub.add_parser("simulate", help="run PFLOTRAN forward simulations")
+    s.add_argument("--template", required=True)
+    s.add_argument("--params", required=True)
+    s.add_argument("--prefix", default="ertdx_run")
+    s.add_argument("--pflotran", default="pflotran")
+    s.add_argument("--workdir", default=".")
+    s.add_argument("--results-dir", default=None)
+    s.add_argument("--mode", choices=["lines", "keywords"], default="lines")
+    s.add_argument("--timeout", type=float, default=3600)
+    s.add_argument("--concurrency", type=int, default=6)
+    s.add_argument("--max-retries", type=int, default=None)
+    s.add_argument("--surveys", type=int, default=14)
+    s.add_argument("--measurements", type=int, default=4693)
+    s.add_argument("--srv-skip-header", type=int, default=259,
+                   help=".srv header lines (README.md:28 warns this varies)")
+    s.add_argument("--srv-usecols", type=int, default=5)
+    s.add_argument("--no-mpi", action="store_true")
+    s.set_defaults(fn=cmd_simulate)
+
+    gd = sub.add_parser("gather-data", help="re-ingest simulation outputs")
+    gd.add_argument("--results-dir", required=True)
+    gd.add_argument("--n", type=int, required=True)
+    gd.add_argument("--surveys", type=int, default=14)
+    gd.add_argument("--out-ert", default="sim_ert.npy")
+    gd.add_argument("--out-params", default="sim_param.npy")
+    gd.set_defaults(fn=cmd_gather_data)
+
+    t = sub.add_parser("train", help="train the conditional denoiser")
+    t.add_argument("--params", required=True)
+    t.add_argument("--ert", required=True)
+    t.add_argument("--preset", default="ref_default")
+    t.add_argument("--model", choices=["refmlp", "condunet"], default=None)
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--seed", type=int, default=None)
+    t.add_argument("--checkpoint-dir", default=None)
+    t.add_argument("--mesh-data", type=int, default=0)
+    t.add_argument("--log-file", default=None)
+    t.add_argument("--plot", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    sa = sub.add_parser("sample", help="posterior ensemble over the test set")
+    sa.add_argument("--params", required=True)
+    sa.add_argument("--ert", required=True)
+    sa.add_argument("--checkpoint-dir", required=True)
+    sa.add_argument("--preset", default="ref_default")
+    sa.add_argument("--model", choices=["refmlp", "condunet"], default=None)
+    sa.add_argument("--realizations", type=int, default=50)
+    sa.add_argument("--seed", type=int, default=None)
+    sa.add_argument("--mesh-data", type=int, default=0)
+    sa.add_argument("--out", default="Uncertainty_params.npy")
+    sa.set_defaults(fn=cmd_sample)
+
+    m = sub.add_parser("metrics", help="UQ accuracy/precision/goodness")
+    m.add_argument("--pred", required=True)
+    m.add_argument("--true", required=True)
+    m.add_argument("--out", default="Parameter_uncertainty_metrics.csv")
+    m.set_defaults(fn=cmd_metrics)
+
+    pl = sub.add_parser("plot", help="ensemble figures")
+    pl.add_argument("--sim", required=True)
+    pl.add_argument("--conditional", required=True)
+    pl.add_argument("--out-dir", default="figures")
+    pl.set_defaults(fn=cmd_plot)
+
+    b = sub.add_parser("bench", help="run the benchmark harness")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -87,7 +87,10 @@ class ParameterSampler:
             if idx[0].size == 0:
                 break
             lin = self.rng.normal(pmeans[idx[1]], psdevs[idx[1]])
-            logd = 10.0 ** self.rng.normal(log_mu[idx[1]], log_sd[idx[1]])
+            # clip the exponent: wild draws overflow 10**x and are rejected
+            # anyway (the reference lets numpy overflow silently)
+            logd = 10.0 ** np.clip(
+                self.rng.normal(log_mu[idx[1]], log_sd[idx[1]]), -300, 300)
             draw = np.where(islog[idx[1]], logd, lin)
             vals[idx] = draw
             failed[idx] = ~((draw > lo[idx[1]]) & (draw < hi[idx[1]]))

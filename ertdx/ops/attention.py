@@ -50,7 +50,11 @@ def reference_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
                   scale: float):
-    """One (batch*head, q-block) program; online softmax over k blocks."""
+    """One (batch*head, q-block) program; online softmax over k blocks.
+
+    mask_ref is (1, 1, lk) — the (bh,)-indexed row delivered via the
+    BlockSpec index map (a (1, lk) block would break TPU tiling rules, and
+    a dynamic row load inside the kernel is unsupported by Mosaic)."""
     q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
     bq = q.shape[0]
     d = q.shape[1]
@@ -61,15 +65,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
         acc, m_i, l_i = carry
         k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-        m_blk = mask_ref[0, pl.ds(i * block_k, block_k)]
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        m_blk = mask_ref[0, 0, pl.ds(i * block_k, block_k)]
         s = s + jnp.where(m_blk[None, :] > 0, 0.0, _NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jnp.dot(p, v_blk,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((bq, d), jnp.float32)
@@ -90,7 +96,8 @@ def _flash_forward(q, k, v, kv_mask, *, block_q: int = 128,
     vr = v.reshape(bh, lk, d)
     if kv_mask is None:
         kv_mask = jnp.ones((b, lk), jnp.float32)
-    mr = jnp.repeat(kv_mask.astype(jnp.float32), h, axis=0)  # (bh, lk)
+    mr = jnp.repeat(kv_mask.astype(jnp.float32), h,
+                    axis=0).reshape(bh, 1, lk)
 
     grid = (bh, lq // block_q)
     out = pl.pallas_call(
@@ -104,7 +111,7 @@ def _flash_forward(q, k, v, kv_mask, *, block_q: int = 128,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, lk), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),

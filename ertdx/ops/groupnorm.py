@@ -34,15 +34,33 @@ def reference_groupnorm_silu(x: jax.Array, gamma: jax.Array, beta: jax.Array,
 
 def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, num_groups: int,
                     eps: float):
+    """Group stats via 2-D matmuls with a one-hot (C, G) group map —
+    Mosaic does not support the (L, C)->(L, G, C/G) reshape in-kernel."""
     x = x_ref[0].astype(jnp.float32)          # (L, C)
     l, c = x.shape
     g = num_groups
     cg = c // g
-    xg = x.reshape(l, g, cg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
-    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(l, c)
-    y = xn * gamma_ref[:] + beta_ref[:]
+    col_group = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0) // cg
+    group_ids = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+    onehot = (col_group == group_ids).astype(jnp.float32)  # (C, G)
+
+    n = float(l * cg)
+    # two-pass variance: E[(x - mean)^2] avoids the f32 cancellation of
+    # E[x^2] - mean^2 over tens of thousands of elements
+    sums = jnp.sum(x, axis=0, keepdims=True)              # (1, C)
+    gsum = jnp.dot(sums, onehot, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST) / n
+    mean_c = jnp.dot(gsum, onehot.T,
+                     preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)   # (1, C)
+    d = x - mean_c
+    sqs = jnp.sum(d * d, axis=0, keepdims=True)           # (1, C)
+    gvar = jnp.dot(sqs, onehot, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST) / n
+    rstd_c = jnp.dot(jax.lax.rsqrt(gvar + eps), onehot.T,
+                     preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    y = d * rstd_c * gamma_ref[:] + beta_ref[:]
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 

@@ -1,0 +1,61 @@
+"""ctypes binding to the C++ .srv column reader (csrc/srv_reader.cpp).
+
+Build with `make -C csrc` (produces ertdx/utils/_srv_reader.so). All
+callers fall back to numpy parsing when the library is absent or a file
+trips the parser, so the extension is a pure fast path (~40-100x over
+np.genfromtxt on the 259-header survey files)."""
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = Path(__file__).parent / "_srv_reader.so"
+    if not so.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.srv_count_rows.restype = ctypes.c_long
+        lib.srv_count_rows.argtypes = [ctypes.c_char_p, ctypes.c_long]
+        lib.srv_read_column.restype = ctypes.c_long
+        lib.srv_read_column.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_srv_column(path: str, skip_header: int,
+                    usecols: int) -> Optional[np.ndarray]:
+    """Returns the parsed column, or None to signal numpy fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = str(path).encode()
+    n = lib.srv_count_rows(p, skip_header)
+    if n < 0:
+        return None
+    out = np.empty(n, dtype=np.float64)
+    got = lib.srv_read_column(
+        p, skip_header, usecols,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n)
+    if got < 0:
+        return None
+    return out[:got]

@@ -1,0 +1,136 @@
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ertdx.configs import ModelConfig
+from ertdx.models import build_model
+from ertdx.models.common import get_timestep_embedding
+
+
+def test_timestep_embedding_formula():
+    """Exact reference formula (ERT_Conditional_Diffusion.py:80-88)."""
+    t = jnp.array([0, 1, 100])
+    D = 128
+    emb = np.asarray(get_timestep_embedding(t, D))
+    assert emb.shape == (3, D)
+    half = D // 2
+    freq = np.exp(np.arange(half) * -(math.log(10000.0) / (half - 1)))
+    expected = np.concatenate(
+        [np.sin(np.asarray(t)[:, None] * freq[None]),
+         np.cos(np.asarray(t)[:, None] * freq[None])], axis=1)
+    np.testing.assert_allclose(emb, expected, rtol=1e-3, atol=1e-5)
+
+
+def test_timestep_embedding_odd_dim():
+    emb = np.asarray(get_timestep_embedding(jnp.array([3]), 7))
+    assert emb.shape == (1, 7)
+    assert emb[0, -1] == 0.0  # zero-padded
+
+
+def _init(name, l=96, c=4, b=4):
+    cfg = dataclasses.replace(ModelConfig(), name=name, cond_length=l,
+                              cond_channels=c)
+    model = build_model(cfg)
+    x = jnp.zeros((b, 29))
+    t = jnp.zeros((b,), jnp.int32)
+    cond = jnp.zeros((b, l, c))
+    variables = model.init(jax.random.key(0), x, t, cond)
+    return model, variables, (x, t, cond)
+
+
+@pytest.mark.parametrize("name", ["refmlp", "condunet"])
+def test_forward_shapes(name):
+    model, variables, (x, t, cond) = _init(name)
+    out = model.apply(variables, x, t, cond)
+    assert out.shape == (4, 29)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_refmlp_param_count_matches_reference():
+    """~68k params (SURVEY.md §6): convs ~7.7k, linears ~60k.
+
+    Exact count from the reference architecture
+    (ERT_Conditional_Diffusion.py:133-153):
+      conv1: 14*32*3+32=1376; conv2: 32*64*3+64=6208;
+      cond_proj: 64*128+128=8320; time_proj: 128*128+128=16512;
+      head1: (29+256)*128+128=36608; head2: 128*29+29=3741 -> 72765."""
+    model, variables, _ = _init("refmlp", l=4693, c=14)
+    n = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert n == 72765
+
+
+@pytest.mark.parametrize("name", ["refmlp", "condunet"])
+def test_encode_once_equals_full_forward(name):
+    """encode_condition + denoise == __call__ (the sampler fast path)."""
+    model, variables, _ = _init(name)
+    key = jax.random.key(1)
+    x = jax.random.normal(key, (4, 29))
+    t = jnp.array([0, 5, 9, 3], jnp.int32)
+    cond = jax.random.normal(jax.random.key(2), (4, 96, 4))
+    full = model.apply(variables, x, t, cond)
+    ctx = model.apply(variables, cond, method=model.encode_condition)
+    split = model.apply(variables, x, t, ctx, method=model.denoise)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(split),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_condition_actually_conditions():
+    """Different conditions must give different predictions."""
+    model, variables, _ = _init("refmlp")
+    x = jnp.ones((2, 29))
+    t = jnp.zeros((2,), jnp.int32)
+    cond_a = jnp.zeros((2, 96, 4))
+    cond_b = jnp.ones((2, 96, 4))
+    out_a = model.apply(variables, x, t, cond_a)
+    out_b = model.apply(variables, x, t, cond_b)
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def _randomize_zero_heads(params, key):
+    """CondUNet zero-inits its output/gate layers (AdaLN-zero style);
+    replace zero kernels with noise so wiring tests see signal."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    new = [jnp.where(jnp.all(l == 0),
+                     0.02 * jax.random.normal(k, l.shape), l)
+           if l.ndim >= 1 else l for l, k in zip(leaves, keys)]
+    return jax.tree_util.tree_unflatten(treedef, new)
+
+
+def test_time_actually_conditions():
+    model, variables, _ = _init("condunet")
+    params = _randomize_zero_heads(variables["params"], jax.random.key(9))
+    x = jnp.ones((2, 29))
+    cond = jnp.ones((2, 96, 4))
+    out0 = model.apply({"params": params}, x, jnp.array([0, 0]), cond)
+    out9 = model.apply({"params": params}, x, jnp.array([400, 400]), cond)
+    assert not np.allclose(np.asarray(out0), np.asarray(out9))
+
+
+def test_refmlp_torch_init_statistics():
+    """Kaiming-uniform bounds: |W| <= 1/sqrt(fan_in)."""
+    model, variables, _ = _init("refmlp", l=4693, c=14)
+    p = variables["params"]
+    w = np.asarray(p["head1"]["Dense_0"]["kernel"])
+    bound = 1.0 / math.sqrt(w.shape[0])
+    assert np.abs(w).max() <= bound + 1e-7
+    assert np.abs(w).max() > 0.8 * bound  # actually fills the range
+
+
+def test_condunet_grad_flows():
+    model, variables, (x, t, cond) = _init("condunet")
+
+    def loss(params):
+        out = model.apply({"params": params}, x + 0.1, t, cond + 0.1)
+        # target 1.0: with the zero-init output head, out==0 at init, so
+        # an out**2 loss would have identically zero gradients
+        return jnp.mean((out - 1.0) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+    assert np.isfinite(total) and total > 0

@@ -1,0 +1,73 @@
+"""C++ .srv reader: parity with np.genfromtxt + fallback behavior."""
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def native():
+    from ertdx.utils import srv_native
+    if not srv_native.available():
+        r = subprocess.run(["make", "-C", str(REPO / "csrc")],
+                           capture_output=True)
+        srv_native._TRIED = False  # re-probe after build
+        if r.returncode != 0 or not srv_native.available():
+            pytest.skip("C++ toolchain unavailable")
+    return srv_native
+
+
+def _write(path, header, rows, cols=7, col=5, scale=1.0):
+    rng = np.random.default_rng(1)
+    vals = rng.normal(size=rows) * scale
+    with open(path, "w") as f:
+        for i in range(header):
+            f.write(f"# header {i} with text\n")
+        for r in range(rows):
+            fields = [f"{c}.25" for c in range(cols)]
+            fields[col] = f"{vals[r]:.10e}"
+            f.write("  ".join(fields) + "\n")
+    return vals
+
+
+def test_matches_genfromtxt(tmp_path, native):
+    p = tmp_path / "a.srv"
+    _write(p, header=259, rows=500)
+    ours = native.read_srv_column(str(p), 259, 5)
+    ref = np.genfromtxt(p, skip_header=259, usecols=5)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=0)
+
+
+def test_scientific_and_negative(tmp_path, native):
+    p = tmp_path / "b.srv"
+    vals = _write(p, header=2, rows=50, scale=1e-11)
+    ours = native.read_srv_column(str(p), 2, 5)
+    np.testing.assert_allclose(ours, vals, rtol=1e-9)
+
+
+def test_missing_file_falls_back(native):
+    assert native.read_srv_column("/nonexistent/x.srv", 0, 0) is None
+
+
+def test_short_rows_fall_back(tmp_path, native):
+    p = tmp_path / "c.srv"
+    p.write_text("h\nonly two cols\n1.0 2.0\n")
+    assert native.read_srv_column(str(p), 1, 5) is None
+
+
+def test_gather_uses_native_and_matches(tmp_path, native):
+    """End-to-end through gather_srv_data with the native fast path."""
+    from ertdx.data import SrvFormat, gather_srv_data
+    fmt = SrvFormat(skip_header=3, usecols=5)
+    for day in (10, 20):
+        _write(tmp_path / f"pref-E1-{day}d.srv", header=3, rows=20)
+    out = gather_srv_data("pref", str(tmp_path), fmt)
+    assert out.shape == (40,)
+    ref = np.concatenate([
+        np.genfromtxt(tmp_path / "pref-E1-10d.srv", skip_header=3, usecols=5),
+        np.genfromtxt(tmp_path / "pref-E1-20d.srv", skip_header=3, usecols=5),
+    ])
+    np.testing.assert_allclose(out, ref, rtol=0, atol=0)

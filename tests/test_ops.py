@@ -1,0 +1,107 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ertdx.ops.attention import (flash_attention, flash_attention_interpret,
+                                 reference_attention)
+from ertdx.ops.groupnorm import (groupnorm_silu, groupnorm_silu_interpret,
+                                 reference_groupnorm_silu)
+
+
+def _qkv(key, b=2, h=2, l=256, d=64):
+    kq, kk, kv = jax.random.split(key, 3)
+    return (jax.random.normal(kq, (b, h, l, d)),
+            jax.random.normal(kk, (b, h, l, d)),
+            jax.random.normal(kv, (b, h, l, d)))
+
+
+def test_flash_kernel_matches_reference_interpret():
+    """The Pallas kernel itself (interpreter mode on CPU) == XLA attention."""
+    q, k, v = _qkv(jax.random.key(0))
+    out_kernel = flash_attention_interpret(q, k, v)
+    out_ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_kernel_masked():
+    q, k, v = _qkv(jax.random.key(1), l=128)
+    mask = jnp.ones((2, 128)).at[:, 100:].set(0.0)
+    out_kernel = flash_attention_interpret(q, k, v, mask)
+    out_ref = reference_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+    # masked keys must not influence the output
+    v2 = v.at[:, :, 100:, :].set(999.0)
+    out2 = flash_attention_interpret(q, k, v2, mask)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out_kernel),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_dispatch_cpu_fallback():
+    """On CPU the public op silently uses the XLA path — same numbers."""
+    q, k, v = _qkv(jax.random.key(2), l=128)
+    out = flash_attention(q, k, v, None, True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(reference_attention(q, k, v)),
+                               rtol=1e-6)
+
+
+def test_flash_attention_grad():
+    """Custom VJP (recompute backward) == autodiff through the reference."""
+    q, k, v = _qkv(jax.random.key(3), b=1, h=1, l=128, d=64)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, None, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_gn_silu_kernel_matches_reference_interpret():
+    key = jax.random.key(4)
+    x = jax.random.normal(key, (3, 64, 32))
+    gamma = jnp.linspace(0.5, 1.5, 32)
+    beta = jnp.linspace(-0.2, 0.2, 32)
+    out_k = groupnorm_silu_interpret(x, gamma, beta, num_groups=8)
+    out_r = reference_groupnorm_silu(x, gamma, beta, num_groups=8)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gn_silu_matches_flax_groupnorm():
+    """Semantics == flax GroupNorm followed by SiLU."""
+    from flax import linen as nn
+    x = jax.random.normal(jax.random.key(5), (2, 40, 16))
+    gn = nn.GroupNorm(num_groups=4)
+    variables = gn.init(jax.random.key(0), x)
+    gamma = variables["params"]["scale"]
+    beta = variables["params"]["bias"]
+    expected = nn.silu(gn.apply(variables, x))
+    out = reference_groupnorm_silu(x, gamma, beta, num_groups=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gn_silu_grad():
+    x = jax.random.normal(jax.random.key(6), (2, 32, 16))
+    gamma = jnp.ones(16)
+    beta = jnp.zeros(16)
+
+    def loss_f(x, g, b):
+        return jnp.sum(groupnorm_silu(x, g, b, 4, 1e-5, True) ** 2)
+
+    def loss_r(x, g, b):
+        return jnp.sum(reference_groupnorm_silu(x, g, b, 4) ** 2)
+
+    g1 = jax.grad(loss_f, argnums=(0, 1, 2))(x, gamma, beta)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)

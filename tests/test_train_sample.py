@@ -1,0 +1,141 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ertdx import configs, data as data_lib
+from ertdx.diffusion import get_diffusion_schedule
+from ertdx.models import build_model
+from ertdx.sample import (filter_valid, inverse_pipeline, posterior_ensemble,
+                          posterior_over_dataset)
+from ertdx.train import load_best_model, train
+
+
+def _cfg(tmp_path=None, **train_kw):
+    kw = dict(num_epochs=3, batch_size=16, log_every=100)
+    if tmp_path is not None:
+        kw["checkpoint_dir"] = str(tmp_path / "ckpt")
+    else:
+        kw["checkpoint_dir"] = ""
+    kw.update(train_kw)
+    return configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=10),
+        model=dataclasses.replace(configs.ModelConfig(), cond_length=96,
+                                  cond_channels=4),
+        train=dataclasses.replace(configs.TrainConfig(), **kw),
+    )
+
+
+def test_train_loss_decreases(tiny_dataset):
+    cfg = _cfg(num_epochs=12)
+    res = train(cfg, tiny_dataset)
+    assert len(res.train_history) == 12
+    assert res.train_history[-1] < res.train_history[0]
+    assert np.isfinite(res.val_history).all()
+
+
+def test_train_reproducible(tiny_dataset):
+    cfg = _cfg(num_epochs=2)
+    r1 = train(cfg, tiny_dataset)
+    r2 = train(cfg, tiny_dataset)
+    # bitwise-reproducible per seed (threefry)
+    assert r1.train_history == r2.train_history
+    l1 = jax.tree_util.tree_leaves(r1.state.params)
+    l2 = jax.tree_util.tree_leaves(r2.state.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_seed_changes_result(tiny_dataset):
+    r1 = train(_cfg(num_epochs=1, seed=1), tiny_dataset)
+    r2 = train(_cfg(num_epochs=1, seed=2), tiny_dataset)
+    assert r1.train_history != r2.train_history
+
+
+def test_deterministic_val_is_comparable(tiny_dataset):
+    """With deterministic_val, repeated evaluation of identical params
+    gives identical val loss across epochs (no t/eps resampling noise)."""
+    cfg = _cfg(num_epochs=2, deterministic_val=True, lr=0.0)
+    res = train(cfg, tiny_dataset)
+    assert res.val_history[0] == pytest.approx(res.val_history[1], rel=1e-6)
+
+
+def test_stochastic_val_compat_mode(tiny_dataset):
+    cfg = _cfg(num_epochs=2, deterministic_val=False, lr=0.0)
+    res = train(cfg, tiny_dataset)
+    assert res.val_history[0] != res.val_history[1]
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_dataset):
+    cfg = _cfg(tmp_path, num_epochs=3)
+    res = train(cfg, tiny_dataset)
+    state, meta, scalers = load_best_model(str(tmp_path / "ckpt"), cfg,
+                                           tiny_dataset)
+    assert meta["epoch"] == res.best_epoch + 1
+    assert meta["best_val_loss"] == pytest.approx(res.best_val_loss)
+    assert set(scalers) == {"param_scaler", "ert_scaler"}
+    np.testing.assert_allclose(
+        np.asarray(scalers["param_scaler"].data_min),
+        np.asarray(tiny_dataset.param_scaler.data_min))
+    # restored params produce identical predictions
+    model = build_model(cfg.model)
+    x = jnp.zeros((4, 29))
+    t = jnp.zeros((4,), jnp.int32)
+    cond = jnp.asarray(tiny_dataset.conditions[:4])
+    out = model.apply({"params": state.params}, x, t, cond)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_posterior_ensemble_shapes(tiny_dataset):
+    cfg = _cfg()
+    res = train(cfg, tiny_dataset)
+    model = build_model(cfg.model)
+    sch = get_diffusion_schedule(cfg.diffusion.T)
+    cond = jnp.asarray(tiny_dataset.conditions[:5])
+    u = posterior_ensemble(model, res.state.params, cond, sch,
+                           jax.random.key(0), n_realizations=7)
+    assert u.shape == (7, 5, 29)
+    # realizations differ (fresh noise per chain)
+    assert not np.allclose(np.asarray(u[0]), np.asarray(u[1]))
+    # same key -> bitwise identical
+    u2 = posterior_ensemble(model, res.state.params, cond, sch,
+                            jax.random.key(0), n_realizations=7)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u2))
+
+
+def test_posterior_ensemble_ddim(tiny_dataset):
+    cfg = _cfg()
+    res = train(cfg, tiny_dataset)
+    model = build_model(cfg.model)
+    sch = get_diffusion_schedule(cfg.diffusion.T)
+    scfg = configs.SampleConfig(sampler="ddim", ddim_steps=5)
+    u = posterior_ensemble(model, res.state.params,
+                           jnp.asarray(tiny_dataset.conditions[:3]), sch,
+                           jax.random.key(1), n_realizations=4, scfg=scfg)
+    assert u.shape == (4, 3, 29)
+    assert np.isfinite(np.asarray(u)).all()
+
+
+def test_inverse_pipeline_and_filter(tiny_dataset):
+    u = np.random.default_rng(0).normal(size=(3, 6, 29)).astype(np.float32)
+    phys, mask = inverse_pipeline(u, tiny_dataset.param_scaler)
+    assert phys.shape == (3, 6, 29)
+    assert mask.shape == (3, 6)
+    kept = filter_valid(phys, mask)
+    for rows in kept:
+        assert rows.ndim == 2 and rows.shape[1] == 29
+
+
+def test_posterior_over_dataset(tiny_dataset):
+    cfg = _cfg()
+    res = train(cfg, tiny_dataset)
+    model = build_model(cfg.model)
+    sch = get_diffusion_schedule(cfg.diffusion.T)
+    conds = tiny_dataset.conditions[:10]
+    pred, mask = posterior_over_dataset(
+        model, res.state.params, conds, sch, jax.random.key(0),
+        tiny_dataset.param_scaler, n_realizations=3, batch_size=4)
+    assert pred.shape == (3, 10, 29)
+    assert mask.shape == (3, 10)
