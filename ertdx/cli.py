@@ -29,6 +29,8 @@ def _load_cfg(args) -> "configs.ExperimentConfig":
         overrides["seed"] = args.seed
     if getattr(args, "checkpoint_dir", None):
         overrides["checkpoint_dir"] = args.checkpoint_dir
+    if getattr(args, "save_every", None) is not None:
+        overrides["step_checkpoint_every"] = args.save_every
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))
@@ -99,7 +101,8 @@ def cmd_train(args) -> int:
     mesh = make_mesh(data=args.mesh_data) if args.mesh_data else None
     logger = MetricsLogger(args.log_file, echo=True)
     res = train(cfg, ds, mesh=mesh, logger=logger,
-                checkpoint_dir=cfg.train.checkpoint_dir)
+                checkpoint_dir=cfg.train.checkpoint_dir,
+                resume=args.resume)
     print(f"best val loss {res.best_val_loss:.6f} at epoch "
           f"{res.best_epoch + 1}; {res.steps_per_sec:.2f} steps/sec")
     if args.plot:
@@ -239,6 +242,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--mesh-data", type=int, default=0)
     t.add_argument("--log-file", default=None)
     t.add_argument("--plot", action="store_true")
+    t.add_argument("--resume", action="store_true",
+                   help="continue from <checkpoint-dir>/last")
+    t.add_argument("--save-every", type=int, default=None,
+                   help="write a resumable checkpoint every N epochs")
     t.set_defaults(fn=cmd_train)
 
     sa = sub.add_parser("sample", help="posterior ensemble over the test set")

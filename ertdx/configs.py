@@ -43,6 +43,9 @@ class TrainConfig:
                                      # ERT_Conditional_Diffusion.py:331-333)
     checkpoint_dir: str = "checkpoints"
     keep_best_only: bool = False
+    # save a resumable 'last' checkpoint every N epochs (0 = off);
+    # TPU-preemption resume (SURVEY.md §5.3 — absent in the reference)
+    step_checkpoint_every: int = 0
     log_every: int = 1
     dtype: str = "float32"
 
@@ -80,11 +83,13 @@ def _replace(cfg, **kw):
 # few epochs, fixed seed, CPU/single chip.
 REF_DEFAULT = ExperimentConfig(name="ref_default")
 
-# configs[1]: unconditional DDPM on synthetic Gaussian fields
-# (schedule/sampler tolerance check).
+# configs[1]: unconditional DDPM on synthetic Gaussian resistivity fields
+# (schedule/sampler tolerance check) — see ertdx.synthetic +
+# models.UncondMLP.
 SYNTHETIC_GAUSSIAN = ExperimentConfig(
     name="synthetic_gaussian",
-    model=_replace(ModelConfig(), cond_length=256, cond_channels=4),
+    model=_replace(ModelConfig(), name="uncondmlp", param_dim=256,
+                   hidden_dim=256, cond_length=1, cond_channels=1),
     train=_replace(TrainConfig(), num_epochs=50, batch_size=64),
 )
 

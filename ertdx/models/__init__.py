@@ -10,12 +10,16 @@ from __future__ import annotations
 from ..configs import ModelConfig
 from .refmlp import RefCondMLP
 from .condunet import CondUNet
+from .uncond import UncondMLP
 
 
 def build_model(cfg: ModelConfig):
     if cfg.name == "refmlp":
         return RefCondMLP(param_dim=cfg.param_dim, hidden_dim=cfg.hidden_dim,
                           cond_channels=cfg.cond_channels)
+    if cfg.name == "uncondmlp":
+        return UncondMLP(param_dim=cfg.param_dim,
+                         hidden_dim=cfg.hidden_dim)
     if cfg.name == "condunet":
         return CondUNet(param_dim=cfg.param_dim, hidden_dim=cfg.hidden_dim,
                         cond_channels=cfg.cond_channels,
@@ -25,4 +29,4 @@ def build_model(cfg: ModelConfig):
     raise ValueError(f"unknown model {cfg.name!r}")
 
 
-__all__ = ["RefCondMLP", "CondUNet", "build_model"]
+__all__ = ["RefCondMLP", "CondUNet", "UncondMLP", "build_model"]

@@ -19,9 +19,9 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
-import math
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from pathlib import Path
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +88,49 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
+                    donate: bool = True):
+    """Whole-epoch train step: one dispatch, lax.scan over batches.
+
+    The per-step model is tiny (SURVEY.md §6), so per-dispatch latency
+    dominates a step-at-a-time loop; scanning the epoch inside one jit
+    removes it. Data lives on device; each scan step gathers its batch
+    rows by index.
+
+    Args to the returned fn:
+      state, x0_all (N, P), cond_all (N, L, C)  — device-resident epoch data
+      batch_idx (n_batches, B) int32            — shuffled batch indices
+      key                                        — epoch key
+    Returns (state, mean epoch loss).
+    """
+    T = schedule.num_steps
+    alpha_bar = schedule.alpha_bar
+
+    def epoch(state: TrainState, x0_all, cond_all, batch_idx, key):
+        def body(carry, inp):
+            state, = carry
+            idx, k = inp
+            x0 = jnp.take(x0_all, idx, axis=0)
+            cond = jnp.take(cond_all, idx, axis=0)
+            kt, kn = jax.random.split(k)
+            t = jax.random.randint(kt, (idx.shape[0],), 0, T, jnp.int32)
+            noise = jax.random.normal(kn, x0.shape, x0.dtype)
+            x_noisy = q_sample(x0, t, noise, alpha_bar)
+
+            def loss_fn(params):
+                eps_hat = apply_fn({"params": params}, x_noisy, t, cond)
+                return jnp.mean((eps_hat - noise) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return (state.apply_gradients(grads=grads),), loss
+
+        keys = jax.random.split(key, batch_idx.shape[0])
+        (state,), losses = jax.lax.scan(body, (state,), (batch_idx, keys))
+        return state, jnp.mean(losses)
+
+    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(apply_fn: Callable, schedule: DiffusionSchedule):
     T = schedule.num_steps
     alpha_bar = schedule.alpha_bar
@@ -105,6 +148,39 @@ def make_eval_step(apply_fn: Callable, schedule: DiffusionSchedule):
     return jax.jit(step)
 
 
+def make_eval_epoch(apply_fn: Callable, schedule: DiffusionSchedule):
+    """Whole-val-set eval in one dispatch (scan over batches)."""
+    T = schedule.num_steps
+    alpha_bar = schedule.alpha_bar
+
+    def epoch(params, x0_all, cond_all, batch_idx, w_all, key):
+        def body(_, inp):
+            idx, w, k = inp
+            x0 = jnp.take(x0_all, idx, axis=0)
+            cond = jnp.take(cond_all, idx, axis=0)
+            kt, kn = jax.random.split(k)
+            t = jax.random.randint(kt, (idx.shape[0],), 0, T, jnp.int32)
+            noise = jax.random.normal(kn, x0.shape, x0.dtype)
+            x_noisy = q_sample(x0, t, noise, alpha_bar)
+            eps_hat = apply_fn({"params": params}, x_noisy, t, cond)
+            per_ex = jnp.mean((eps_hat - noise) ** 2, axis=-1)
+            return None, (jnp.sum(per_ex * w), jnp.sum(w))
+        keys = jax.random.split(key, batch_idx.shape[0])
+        _, (num, den) = jax.lax.scan(body, None, (batch_idx, w_all, keys))
+        return jnp.sum(num) / jnp.maximum(jnp.sum(den), 1.0)
+
+    return jax.jit(epoch)
+
+
+def _epoch_batches(n: int, batch_size: int, order: np.ndarray):
+    """Shuffled (n_batches, B) index matrix; the ragged tail wraps around
+    to the front of the permutation so shapes stay static."""
+    n_batches = -(-n // batch_size)
+    total = n_batches * batch_size
+    reps = np.resize(order, total)
+    return reps.reshape(n_batches, batch_size).astype(np.int32)
+
+
 @dataclasses.dataclass
 class TrainResult:
     state: TrainState
@@ -117,12 +193,21 @@ class TrainResult:
 
 def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
           mesh=None, logger: Optional[MetricsLogger] = None,
-          checkpoint_dir: Optional[str] = None) -> TrainResult:
+          checkpoint_dir: Optional[str] = None,
+          device_resident: Optional[bool] = None,
+          resume: bool = False) -> TrainResult:
     """Full training loop with best-val checkpointing.
 
     Mirrors the reference epoch loop (ERT_Conditional_Diffusion.py:305-356)
     with deterministic splits, static-shape padded batches, and an optional
     multi-chip mesh.
+
+    Single-chip fast path (`device_resident`, default on when mesh is None
+    and the data fits): the dataset is staged to HBM once and each epoch is
+    ONE dispatch (lax.scan over batches) — removes per-step host latency,
+    which dominates for this model size. The ragged tail batch wraps to the
+    head of the epoch permutation (vs the reference's short tail batch) —
+    equivalent training distribution, static shapes.
     """
     tcfg = cfg.train
     logger = logger or MetricsLogger(echo=False)
@@ -146,56 +231,109 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
         state = jax.device_put(state, replicated(mesh))
         data_shard = batch_sharding(mesh)
 
-    train_step = make_train_step(model.apply, schedule)
-    eval_step = make_eval_step(model.apply, schedule)
+    if device_resident is None:
+        nbytes = (dataset.params_u.nbytes + dataset.conditions.nbytes)
+        device_resident = mesh is None and nbytes < 8 * 2 ** 30
 
     x0_tr, cond_tr = dataset.params_u[train_idx], dataset.conditions[train_idx]
     x0_va, cond_va = dataset.params_u[val_idx], dataset.conditions[val_idx]
+
+    if device_resident:
+        epoch_step = make_epoch_step(model.apply, schedule)
+        eval_epoch = make_eval_epoch(model.apply, schedule)
+        x0_tr_d = jax.device_put(jnp.asarray(x0_tr))
+        cond_tr_d = jax.device_put(jnp.asarray(cond_tr))
+        x0_va_d = jax.device_put(jnp.asarray(x0_va))
+        cond_va_d = jax.device_put(jnp.asarray(cond_va))
+        # fixed val batching with tail weights
+        v_order = np.arange(len(x0_va))
+        v_idx = _epoch_batches(len(x0_va), tcfg.batch_size, v_order)
+        v_w = np.zeros(v_idx.shape, np.float32)
+        flat = v_w.reshape(-1)
+        flat[: len(x0_va)] = 1.0
+        v_idx_d = jax.device_put(jnp.asarray(v_idx))
+        v_w_d = jax.device_put(jnp.asarray(v_w))
+    else:
+        train_step = make_train_step(model.apply, schedule)
+        eval_step = make_eval_step(model.apply, schedule)
 
     best_val = float("inf")
     best_epoch = -1
     train_hist, val_hist = [], []
     step_count, step_time = 0, 0.0
+    start_epoch = 0
 
-    for epoch in range(tcfg.num_epochs):
+    if resume and checkpoint_dir:
+        last_dir = Path(checkpoint_dir) / "last"
+        if (last_dir / "state.msgpack").exists():
+            template = {"params": state.params,
+                        "opt_state": state.opt_state, "step": state.step}
+            restored, meta, _ = ckpt_lib.restore_checkpoint(last_dir,
+                                                            template)
+            state = state.replace(params=restored["params"],
+                                  opt_state=restored["opt_state"],
+                                  step=restored["step"])
+            if mesh is not None:
+                state = jax.device_put(state, replicated(mesh))
+            start_epoch = int(meta.get("epoch", 0))
+            best_val = float(meta.get("best_val_loss", float("inf")))
+            best_epoch = int(meta.get("best_epoch", -1))
+            train_hist = list(meta.get("train_history", []))
+            val_hist = list(meta.get("val_history", []))
+            logger.log({"resumed_from_epoch": start_epoch,
+                        "best_val": best_val})
+
+    for epoch in range(start_epoch, tcfg.num_epochs):
         # ---- train ----
         t_ep0 = time.perf_counter()
-        running, seen = 0.0, 0.0
         order = np.random.default_rng(
             np.random.SeedSequence([tcfg.seed, 7, epoch])).permutation(
                 len(x0_tr))
-        for bi, s in enumerate(range(0, len(x0_tr), tcfg.batch_size)):
-            idx = order[s:s + tcfg.batch_size]
-            nb = len(idx)
-            x0, cond, w = data_lib.pad_batch(x0_tr[idx], cond_tr[idx],
-                                             tcfg.batch_size)
-            x0, cond, w = _put(x0, cond, w, data_shard)
-            key = jax.random.fold_in(jax.random.fold_in(train_key, epoch), bi)
-            state, loss = train_step(state, x0, cond, w, key)
-            running += float(loss) * nb
-            seen += nb
-            step_count += 1
-        jax.block_until_ready(state.params)
+        ekey = jax.random.fold_in(train_key, epoch)
+        if device_resident:
+            batch_idx = jnp.asarray(
+                _epoch_batches(len(x0_tr), tcfg.batch_size, order))
+            state, mean_loss = epoch_step(state, x0_tr_d, cond_tr_d,
+                                          batch_idx, ekey)
+            jax.block_until_ready(state.params)
+            epoch_loss = float(mean_loss)
+            step_count += batch_idx.shape[0]
+        else:
+            running, seen = 0.0, 0.0
+            for bi, s in enumerate(range(0, len(x0_tr), tcfg.batch_size)):
+                idx = order[s:s + tcfg.batch_size]
+                nb = len(idx)
+                x0, cond, w = data_lib.pad_batch(x0_tr[idx], cond_tr[idx],
+                                                 tcfg.batch_size)
+                x0, cond, w = _put(x0, cond, w, data_shard)
+                key = jax.random.fold_in(ekey, bi)
+                state, loss = train_step(state, x0, cond, w, key)
+                running += float(loss) * nb
+                seen += nb
+                step_count += 1
+            jax.block_until_ready(state.params)
+            epoch_loss = running / max(seen, 1.0)
         step_time += time.perf_counter() - t_ep0
-        epoch_loss = running / max(seen, 1.0)
 
         # ---- validate ----
-        vrunning, vseen = 0.0, 0.0
-        for bi, s in enumerate(range(0, len(x0_va), tcfg.batch_size)):
-            x0, cond, w = data_lib.pad_batch(
-                x0_va[s:s + tcfg.batch_size], cond_va[s:s + tcfg.batch_size],
-                tcfg.batch_size)
-            nb = int(w.sum())
-            x0, cond, w = _put(x0, cond, w, data_shard)
-            if tcfg.deterministic_val:
-                key = jax.random.fold_in(val_key, bi)
-            else:
-                key = jax.random.fold_in(
-                    jax.random.fold_in(val_key, epoch), bi)
-            vloss = eval_step(state.params, x0, cond, w, key)
-            vrunning += float(vloss) * nb
-            vseen += nb
-        val_loss = vrunning / max(vseen, 1.0)
+        vkey = (val_key if tcfg.deterministic_val
+                else jax.random.fold_in(val_key, epoch))
+        if device_resident:
+            val_loss = float(eval_epoch(state.params, x0_va_d, cond_va_d,
+                                        v_idx_d, v_w_d, vkey))
+        else:
+            vrunning, vseen = 0.0, 0.0
+            for bi, s in enumerate(range(0, len(x0_va), tcfg.batch_size)):
+                x0, cond, w = data_lib.pad_batch(
+                    x0_va[s:s + tcfg.batch_size],
+                    cond_va[s:s + tcfg.batch_size], tcfg.batch_size)
+                nb = int(w.sum())
+                x0, cond, w = _put(x0, cond, w, data_shard)
+                vloss = eval_step(state.params, x0, cond, w,
+                                  jax.random.fold_in(vkey, bi))
+                vrunning += float(vloss) * nb
+                vseen += nb
+            val_loss = vrunning / max(vseen, 1.0)
 
         train_hist.append(epoch_loss)
         val_hist.append(val_loss)
@@ -216,6 +354,18 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                      "model": cfg.model.name},
                     scalers={"param_scaler": dataset.param_scaler,
                              "ert_scaler": dataset.ert_scaler})
+        if (checkpoint_dir and tcfg.step_checkpoint_every
+                and (epoch + 1) % tcfg.step_checkpoint_every == 0):
+            ckpt_lib.save_checkpoint(
+                f"{checkpoint_dir}/last",
+                {"params": state.params, "opt_state": state.opt_state,
+                 "step": state.step},
+                {"epoch": epoch + 1, "best_val_loss": best_val,
+                 "best_epoch": best_epoch, "train_history": train_hist,
+                 "val_history": val_hist,
+                 "param_dim": dataset.param_dim, "model": cfg.model.name},
+                scalers={"param_scaler": dataset.param_scaler,
+                         "ert_scaler": dataset.ert_scaler})
         if (epoch + 1) % tcfg.log_every == 0:
             logger.log({"epoch": epoch + 1, "train_loss": epoch_loss,
                         "val_loss": val_loss, "best_val": best_val,

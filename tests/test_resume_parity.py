@@ -1,0 +1,149 @@
+"""Resume semantics + reference-parity checks (SURVEY.md §4 parity tests)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from ertdx import configs, data as data_lib
+from ertdx.train import train
+
+
+def _cfg(tmp_path, epochs, ckpt_every=0):
+    return configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=10),
+        model=dataclasses.replace(configs.ModelConfig(), cond_length=96,
+                                  cond_channels=4),
+        train=dataclasses.replace(
+            configs.TrainConfig(), num_epochs=epochs, batch_size=16,
+            checkpoint_dir=str(tmp_path / "ckpt"), log_every=100,
+            step_checkpoint_every=ckpt_every),
+    )
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path, tiny_dataset):
+    """Preemption resume: [train 2 epochs, save last] then [resume to 4]
+    must equal an uninterrupted 4-epoch run (epoch keys derive from the
+    epoch index, not wall history)."""
+    full = train(_cfg(tmp_path / "full", 4, ckpt_every=1), tiny_dataset)
+    part = train(_cfg(tmp_path / "ab", 2, ckpt_every=1), tiny_dataset)
+    resumed = train(_cfg(tmp_path / "ab", 4, ckpt_every=1), tiny_dataset,
+                    resume=True)
+    assert len(resumed.train_history) == 4
+    np.testing.assert_allclose(resumed.train_history[:2],
+                               part.train_history, rtol=1e-6)
+    np.testing.assert_allclose(resumed.train_history,
+                               full.train_history, rtol=1e-4)
+    np.testing.assert_allclose(resumed.val_history, full.val_history,
+                               rtol=1e-4)
+
+
+def test_resume_without_checkpoint_starts_fresh(tmp_path, tiny_dataset):
+    res = train(_cfg(tmp_path / "fresh", 2), tiny_dataset, resume=True)
+    assert len(res.train_history) == 2
+
+
+def test_epoch_scan_matches_per_batch_statistically(tiny_dataset):
+    """The device-resident epoch scan and the per-batch path are different
+    RNG streams but the same estimator: loss trajectories track closely."""
+    cfg = configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=10),
+        model=dataclasses.replace(configs.ModelConfig(), cond_length=96,
+                                  cond_channels=4),
+        train=dataclasses.replace(configs.TrainConfig(), num_epochs=6,
+                                  batch_size=16, checkpoint_dir="",
+                                  log_every=100),
+    )
+    a = train(cfg, tiny_dataset, device_resident=True)
+    b = train(cfg, tiny_dataset, device_resident=False)
+    assert abs(a.train_history[-1] - b.train_history[-1]) < 0.15
+    # both decrease
+    assert a.train_history[-1] < a.train_history[0]
+    assert b.train_history[-1] < b.train_history[0]
+
+
+@pytest.mark.slow
+def test_torch_statistical_parity():
+    """Tolerance parity with a reference-style torch run (SURVEY.md §7:
+    'parity must mean statistical/tolerance parity on loss curves').
+
+    Same synthetic data, same architecture/hyperparameters, independent
+    RNGs: final-epoch eps-MSE losses must agree within a loose band."""
+    import torch
+    import torch.nn as nn
+
+    rng = np.random.default_rng(0)
+    n, p, l, c = 128, 29, 64, 4
+    T, epochs, bs, lr = 50, 12, 16, 1e-3
+    params_raw = rng.uniform(0.1, 0.9, (n, p)).astype(np.float32)
+    ert = rng.normal(0.5, 0.2, (n, l, c)).astype(np.float32)
+
+    # ---- ours ----
+    ds = data_lib.prepare_dataset(params_raw[..., None], ert)
+    cfg = configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=T),
+        model=dataclasses.replace(configs.ModelConfig(), cond_length=l,
+                                  cond_channels=c),
+        train=dataclasses.replace(configs.TrainConfig(), num_epochs=epochs,
+                                  batch_size=bs, lr=lr, checkpoint_dir="",
+                                  log_every=100),
+    )
+    ours = train(cfg, ds).train_history
+
+    # ---- reference-style torch (independent implementation) ----
+    torch.manual_seed(0)
+    from ertdx.transforms import transform_to_unconstrained
+    x_u = torch.from_numpy(
+        transform_to_unconstrained(ds.param_scaler.transform(params_raw)))
+    cond_t = torch.from_numpy(
+        np.transpose(ds.ert_scaler.transform(ert.reshape(n, -1))
+                     .reshape(n, l, c), (0, 2, 1))).float()
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.enc = nn.Sequential(
+                nn.Conv1d(c, 32, 3, stride=2, padding=1), nn.ReLU(),
+                nn.Conv1d(32, 64, 3, stride=2, padding=1), nn.ReLU(),
+                nn.AdaptiveAvgPool1d(1), nn.Flatten(),
+                nn.Linear(64, 128), nn.ReLU())
+            self.time = nn.Sequential(nn.Linear(128, 128), nn.ReLU())
+            self.head = nn.Sequential(nn.Linear(p + 256, 128), nn.ReLU(),
+                                      nn.Linear(128, p))
+
+        def forward(self, x, t, cond):
+            import math
+            half = 64
+            freq = torch.exp(torch.arange(half).float()
+                             * -(math.log(10000.0) / (half - 1)))
+            e = t.float()[:, None] * freq[None]
+            temb = self.time(torch.cat([e.sin(), e.cos()], dim=1))
+            return self.head(torch.cat([x, temb, self.enc(cond)], dim=1))
+
+    model = Model()
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    betas = torch.linspace(1e-4, 0.02, T)
+    ab = torch.cumprod(1 - betas, 0)
+    n_tr = int(0.8 * n)
+    losses = []
+    for ep in range(epochs):
+        perm = torch.randperm(n_tr)
+        running, seen = 0.0, 0
+        for s in range(0, n_tr, bs):
+            idx = perm[s:s + bs]
+            x0 = x_u[idx].float()
+            t = torch.randint(0, T, (len(idx),))
+            noise = torch.randn_like(x0)
+            abt = ab[t][:, None]
+            xn = abt.sqrt() * x0 + (1 - abt).sqrt() * noise
+            pred = model(xn, t, cond_t[idx])
+            loss = ((pred - noise) ** 2).mean()
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            running += float(loss.detach()) * len(idx)
+            seen += len(idx)
+        losses.append(running / seen)
+
+    # statistical parity: same loss scale and both decreasing
+    assert abs(ours[-1] - losses[-1]) < 0.2, (ours[-1], losses[-1])
+    assert ours[-1] < ours[0] and losses[-1] < losses[0]

@@ -114,7 +114,9 @@ def test_full_train_loop_on_mesh(tiny_dataset):
     mesh = make_mesh(data=8)
     res = train(cfg, tiny_dataset, mesh=mesh)
     assert np.isfinite(res.train_history).all()
-    # sharded loop reproduces the single-device loop exactly (same keys)
-    res_single = train(cfg, tiny_dataset)
+    # sharded loop reproduces the single-device per-batch loop (same keys;
+    # device_resident uses a different epoch-scan key derivation, so pin
+    # the per-batch path for the comparison)
+    res_single = train(cfg, tiny_dataset, device_resident=False)
     np.testing.assert_allclose(res.train_history, res_single.train_history,
                                rtol=1e-5)
