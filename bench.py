@@ -77,15 +77,17 @@ def _measure_train(model_name: str, steps: int = 30, warmup: int = 5
     return steps / (time.perf_counter() - t0)
 
 
-def _measure_train_epoch_scan(model_name: str, n_pool: int = 512,
-                              repeats: int = 3) -> float:
-    """Production path: device-resident data, one dispatch per epoch
-    (lax.scan over batches) — ertdx.train.make_epoch_step."""
+def _measure_train_epoch_scan(model_name: str, n_pool: int = 1024,
+                              epochs_per_dispatch: int = 4,
+                              repeats: int = 2) -> float:
+    """Production path: device-resident data, lax.scan over batches AND
+    epochs — ertdx.train.make_train_run. Reference-dataset scale: 4,060
+    train rows = 127 steps/epoch/dispatch (here n_pool rows synthetic)."""
     from ertdx.configs import ModelConfig
     from ertdx.diffusion import get_diffusion_schedule
     from ertdx.models import build_model
     from ertdx.train import (_epoch_batches, create_train_state,
-                             make_epoch_step)
+                             make_train_run)
 
     cfg = dataclasses.replace(ModelConfig(), name=model_name,
                               cond_length=REF_LEN, cond_channels=REF_CH)
@@ -93,23 +95,33 @@ def _measure_train_epoch_scan(model_name: str, n_pool: int = 512,
     sch = get_diffusion_schedule(T)
     state = create_train_state(model, jax.random.key(0), 1e-4, REF_BATCH,
                                (REF_LEN, REF_CH), PARAM_DIM)
-    epoch_step = make_epoch_step(model.apply, sch)
+    run_fn = make_train_run(model.apply, sch)
 
     rng = np.random.default_rng(0)
     x0_all = jnp.asarray(rng.normal(size=(n_pool, PARAM_DIM)), jnp.float32)
     cond_all = jnp.asarray(rng.uniform(size=(n_pool, REF_LEN, REF_CH)),
                            jnp.float32)
-    batch_idx = jnp.asarray(
-        _epoch_batches(n_pool, REF_BATCH, rng.permutation(n_pool)))
-    n_steps = batch_idx.shape[0]
+    n_val = max(REF_BATCH, n_pool // 8)
+    x0_va = x0_all[:n_val]
+    cond_va = cond_all[:n_val]
+    E = epochs_per_dispatch
+    bidx = jnp.asarray(np.stack([
+        _epoch_batches(n_pool, REF_BATCH, rng.permutation(n_pool))
+        for _ in range(E)]))
+    v_idx = jnp.asarray(_epoch_batches(n_val, REF_BATCH,
+                                       np.arange(n_val)))
+    v_w = jnp.ones(v_idx.shape, jnp.float32)
+    ekeys = jax.random.split(jax.random.key(1), E)
+    vkeys = jax.random.split(jax.random.key(2), E)
+    n_steps = E * bidx.shape[1]
 
-    state, _ = epoch_step(state, x0_all, cond_all, batch_idx,
-                          jax.random.key(1))
+    state, _, _ = run_fn(state, x0_all, cond_all, bidx, ekeys,
+                         x0_va, cond_va, v_idx, v_w, vkeys)
     jax.block_until_ready(state.params)
     t0 = time.perf_counter()
-    for i in range(repeats):
-        state, _ = epoch_step(state, x0_all, cond_all, batch_idx,
-                              jax.random.key(2 + i))
+    for _ in range(repeats):
+        state, _, _ = run_fn(state, x0_all, cond_all, bidx, ekeys,
+                             x0_va, cond_va, v_idx, v_w, vkeys)
     jax.block_until_ready(state.params)
     return repeats * n_steps / (time.perf_counter() - t0)
 

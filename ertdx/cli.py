@@ -51,6 +51,17 @@ def cmd_generate_design(args) -> int:
     return 0
 
 
+def cmd_generate_synthetic(args) -> int:
+    from .synthetic import make_unconditional_dataset
+    fields, cond = make_unconditional_dataset(
+        args.n, (args.grid, args.grid), args.length_scale, args.seed)
+    np.save(args.out, fields)
+    np.save(Path(args.out).with_name("synthetic_cond.npy"), cond)
+    print(f"wrote {args.out}: {fields.shape} Gaussian fields "
+          f"(grid {args.grid}x{args.grid})")
+    return 0
+
+
 def cmd_simulate(args) -> int:
     from .data import SrvFormat
     from .physics import (ForwardModelRunner, PflotranSimulator,
@@ -94,15 +105,17 @@ def cmd_train(args) -> int:
     from .train import train
     from .utils.logging import MetricsLogger
     from .parallel.mesh import make_mesh
+    from .utils.profiling import trace
     cfg = _load_cfg(args)
     sim_param = np.load(args.params)
     ert = np.load(args.ert)
     ds = data_lib.prepare_dataset(sim_param, ert)
     mesh = make_mesh(data=args.mesh_data) if args.mesh_data else None
     logger = MetricsLogger(args.log_file, echo=True)
-    res = train(cfg, ds, mesh=mesh, logger=logger,
-                checkpoint_dir=cfg.train.checkpoint_dir,
-                resume=args.resume)
+    with trace(args.profile):
+        res = train(cfg, ds, mesh=mesh, logger=logger,
+                    checkpoint_dir=cfg.train.checkpoint_dir,
+                    resume=args.resume)
     print(f"best val loss {res.best_val_loss:.6f} at epoch "
           f"{res.best_epoch + 1}; {res.steps_per_sec:.2f} steps/sec")
     if args.plot:
@@ -203,6 +216,16 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--diagnostics", action="store_true")
     g.set_defaults(fn=cmd_generate_design)
 
+    gs = sub.add_parser("generate-synthetic",
+                        help="synthetic Gaussian resistivity fields "
+                             "(configs[1])")
+    gs.add_argument("--n", type=int, default=2048)
+    gs.add_argument("--grid", type=int, default=16)
+    gs.add_argument("--length-scale", type=float, default=0.25)
+    gs.add_argument("--seed", type=int, default=0)
+    gs.add_argument("--out", default="synthetic_fields.npy")
+    gs.set_defaults(fn=cmd_generate_synthetic)
+
     s = sub.add_parser("simulate", help="run PFLOTRAN forward simulations")
     s.add_argument("--template", required=True)
     s.add_argument("--params", required=True)
@@ -246,6 +269,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="continue from <checkpoint-dir>/last")
     t.add_argument("--save-every", type=int, default=None,
                    help="write a resumable checkpoint every N epochs")
+    t.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace to LOGDIR")
     t.set_defaults(fn=cmd_train)
 
     sa = sub.add_parser("sample", help="posterior ensemble over the test set")

@@ -46,6 +46,10 @@ class TrainConfig:
     # save a resumable 'last' checkpoint every N epochs (0 = off);
     # TPU-preemption resume (SURVEY.md §5.3 — absent in the reference)
     step_checkpoint_every: int = 0
+    # device-resident fast path: run K epochs per jit dispatch (1 = exact
+    # reference best-val semantics; >1 amortizes host dispatch latency,
+    # best-val snapshots land on chunk boundaries)
+    epochs_per_dispatch: int = 1
     log_every: int = 1
     dtype: str = "float32"
 

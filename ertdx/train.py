@@ -131,6 +131,70 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
     return jax.jit(epoch, donate_argnums=(0,) if donate else ())
 
 
+def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
+                   donate: bool = True):
+    """Multi-epoch train+val in ONE dispatch: scan(epochs) of scan(batches).
+
+    Removes per-dispatch host latency entirely for E epochs at a time
+    (1 dispatch instead of E) — the production fast path when best-val
+    checkpointing at E-epoch granularity is acceptable.
+
+    fn(state, x0_tr, cond_tr, batch_idx (E, nb, B), epoch_keys (E,),
+       x0_va, cond_va, val_idx (nv, B), val_w (nv, B), val_keys (E,))
+      -> (state, train_losses (E,), val_losses (E,))
+    """
+    T = schedule.num_steps
+    alpha_bar = schedule.alpha_bar
+
+    def run(state, x0_tr, cond_tr, batch_idx, epoch_keys,
+            x0_va, cond_va, val_idx, val_w, val_keys):
+        def batch_body(state, inp):
+            idx, k = inp
+            x0 = jnp.take(x0_tr, idx, axis=0)
+            cond = jnp.take(cond_tr, idx, axis=0)
+            kt, kn = jax.random.split(k)
+            t = jax.random.randint(kt, (idx.shape[0],), 0, T, jnp.int32)
+            noise = jax.random.normal(kn, x0.shape, x0.dtype)
+            x_noisy = q_sample(x0, t, noise, alpha_bar)
+
+            def loss_fn(params):
+                eps_hat = apply_fn({"params": params}, x_noisy, t, cond)
+                return jnp.mean((eps_hat - noise) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        def epoch_body(state, inp):
+            bidx, ekey, vkey = inp
+            bkeys = jax.random.split(ekey, bidx.shape[0])
+            state, losses = jax.lax.scan(batch_body, state, (bidx, bkeys))
+
+            def val_body(_, vinp):
+                idx, w, k = vinp
+                x0 = jnp.take(x0_va, idx, axis=0)
+                cond = jnp.take(cond_va, idx, axis=0)
+                kt, kn = jax.random.split(k)
+                t = jax.random.randint(kt, (idx.shape[0],), 0, T, jnp.int32)
+                noise = jax.random.normal(kn, x0.shape, x0.dtype)
+                x_noisy = q_sample(x0, t, noise, alpha_bar)
+                eps_hat = apply_fn({"params": state.params}, x_noisy, t,
+                                   cond)
+                per_ex = jnp.mean((eps_hat - noise) ** 2, axis=-1)
+                return None, (jnp.sum(per_ex * w), jnp.sum(w))
+
+            vkeys = jax.random.split(vkey, val_idx.shape[0])
+            _, (num, den) = jax.lax.scan(val_body, None,
+                                         (val_idx, val_w, vkeys))
+            vloss = jnp.sum(num) / jnp.maximum(jnp.sum(den), 1.0)
+            return state, (jnp.mean(losses), vloss)
+
+        state, (tr, va) = jax.lax.scan(
+            epoch_body, state, (batch_idx, epoch_keys, val_keys))
+        return state, tr, va
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(apply_fn: Callable, schedule: DiffusionSchedule):
     T = schedule.num_steps
     alpha_bar = schedule.alpha_bar
@@ -282,6 +346,80 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
             val_hist = list(meta.get("val_history", []))
             logger.log({"resumed_from_epoch": start_epoch,
                         "best_val": best_val})
+
+    K = tcfg.epochs_per_dispatch
+    if device_resident and K > 1:
+        run_fn = make_train_run(model.apply, schedule)
+        epoch = start_epoch
+        while epoch < tcfg.num_epochs:
+            k_now = min(K, tcfg.num_epochs - epoch)
+            t_ep0 = time.perf_counter()
+            bidx = np.stack([
+                _epoch_batches(
+                    len(x0_tr), tcfg.batch_size,
+                    np.random.default_rng(np.random.SeedSequence(
+                        [tcfg.seed, 7, e])).permutation(len(x0_tr)))
+                for e in range(epoch, epoch + k_now)])
+            ekeys = jnp.stack([jax.random.fold_in(train_key, e)
+                               for e in range(epoch, epoch + k_now)])
+            if tcfg.deterministic_val:
+                vkeys = jnp.stack([val_key] * k_now)
+            else:
+                vkeys = jnp.stack([jax.random.fold_in(val_key, e)
+                                   for e in range(epoch, epoch + k_now)])
+            state, tr, va = run_fn(state, x0_tr_d, cond_tr_d,
+                                   jnp.asarray(bidx), ekeys,
+                                   x0_va_d, cond_va_d, v_idx_d, v_w_d,
+                                   vkeys)
+            jax.block_until_ready(state.params)
+            step_time += time.perf_counter() - t_ep0
+            step_count += k_now * bidx.shape[1]
+            tr = np.asarray(tr)
+            va = np.asarray(va)
+            train_hist.extend(float(x) for x in tr)
+            val_hist.extend(float(x) for x in va)
+            chunk_best = float(va.min())
+            improved = chunk_best < best_val
+            if improved:
+                best_val = chunk_best
+                best_epoch = epoch + int(va.argmin())
+                if checkpoint_dir:
+                    # snapshot granularity = chunk boundary (documented)
+                    ckpt_lib.save_checkpoint(
+                        f"{checkpoint_dir}/best",
+                        {"params": state.params,
+                         "opt_state": state.opt_state,
+                         "step": state.step},
+                        {"epoch": best_epoch + 1,
+                         "best_val_loss": best_val,
+                         "snapshot_epoch": epoch + k_now,
+                         "train_history": train_hist,
+                         "val_history": val_hist,
+                         "param_dim": dataset.param_dim,
+                         "model": cfg.model.name},
+                        scalers={"param_scaler": dataset.param_scaler,
+                                 "ert_scaler": dataset.ert_scaler})
+            epoch += k_now
+            if (checkpoint_dir and tcfg.step_checkpoint_every
+                    and epoch % max(tcfg.step_checkpoint_every, 1) < k_now):
+                ckpt_lib.save_checkpoint(
+                    f"{checkpoint_dir}/last",
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "step": state.step},
+                    {"epoch": epoch, "best_val_loss": best_val,
+                     "best_epoch": best_epoch,
+                     "train_history": train_hist, "val_history": val_hist,
+                     "param_dim": dataset.param_dim,
+                     "model": cfg.model.name},
+                    scalers={"param_scaler": dataset.param_scaler,
+                             "ert_scaler": dataset.ert_scaler})
+            if epoch % tcfg.log_every == 0 or epoch >= tcfg.num_epochs:
+                logger.log({"epoch": epoch, "train_loss": float(tr[-1]),
+                            "val_loss": float(va[-1]),
+                            "best_val": best_val})
+        sps = step_count / step_time if step_time > 0 else float("nan")
+        return TrainResult(state, best_val, best_epoch, train_hist,
+                           val_hist, sps)
 
     for epoch in range(start_epoch, tcfg.num_epochs):
         # ---- train ----

@@ -42,6 +42,25 @@ def test_resume_without_checkpoint_starts_fresh(tmp_path, tiny_dataset):
     assert len(res.train_history) == 2
 
 
+def test_multi_epoch_dispatch_matches_per_epoch(tiny_dataset):
+    """epochs_per_dispatch=K is a pure batching change: identical
+    train/val histories to the per-epoch device-resident path."""
+    base = configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=10),
+        model=dataclasses.replace(configs.ModelConfig(), cond_length=96,
+                                  cond_channels=4),
+        train=dataclasses.replace(configs.TrainConfig(), num_epochs=7,
+                                  batch_size=16, checkpoint_dir="",
+                                  log_every=100))
+    r1 = train(base, tiny_dataset)
+    r2 = train(dataclasses.replace(
+        base, train=dataclasses.replace(base.train, epochs_per_dispatch=3)),
+        tiny_dataset)
+    np.testing.assert_allclose(r1.train_history, r2.train_history,
+                               rtol=1e-5)
+    np.testing.assert_allclose(r1.val_history, r2.val_history, rtol=1e-5)
+
+
 def test_epoch_scan_matches_per_batch_statistically(tiny_dataset):
     """The device-resident epoch scan and the per-batch path are different
     RNG streams but the same estimator: loss trajectories track closely."""
