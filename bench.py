@@ -126,7 +126,7 @@ def _measure_train_epoch_scan(model_name: str, n_pool: int = 1024,
     return repeats * n_steps / (time.perf_counter() - t0)
 
 
-def _measure_sampling(n_real: int = 8, repeats: int = 3) -> dict:
+def _measure_sampling(n_real: int = 32, repeats: int = 5) -> dict:
     """Posterior ensemble throughput: (n_real * batch) chains x T=500 steps
     in one scan. Returns chains/sec and denoiser-steps/sec."""
     from ertdx.configs import ModelConfig
@@ -152,7 +152,7 @@ def _measure_sampling(n_real: int = 8, repeats: int = 3) -> dict:
     t0 = time.perf_counter()
     for i in range(repeats):
         out = run(jax.random.key(3 + i))
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)  # force each call (async queue hides it)
     dt = (time.perf_counter() - t0) / repeats
     chains = n_real * REF_BATCH
     return {"chains_per_sec": chains / dt,

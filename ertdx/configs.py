@@ -50,6 +50,8 @@ class TrainConfig:
     # reference best-val semantics; >1 amortizes host dispatch latency,
     # best-val snapshots land on chunk boundaries)
     epochs_per_dispatch: int = 1
+    # exponential moving average of params for sampling (0 = off)
+    ema_decay: float = 0.0
     log_every: int = 1
     dtype: str = "float32"
 

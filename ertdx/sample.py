@@ -24,13 +24,70 @@ from . import transforms
 from .configs import SampleConfig
 from .diffusion import DiffusionSchedule, sample_ancestral, sample_ddim
 from .params import ParameterSpace
-from .parallel.mesh import batch_sharding
+from .parallel.mesh import batch_sharding, replicated
 
 
 def _tile_ctx(ctx, n: int):
     """Repeat every cond-ctx leaf n times along the batch axis."""
     return jax.tree_util.tree_map(
         lambda a: jnp.repeat(a, n, axis=0) if hasattr(a, "ndim") else a, ctx)
+
+
+# jitted ensemble cores, cached per (model, sampler-config, shapes) — a
+# fresh jax.jit per call would recompile every time
+_ENSEMBLE_CACHE: dict = {}
+
+
+def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
+                 truncate_steps, T: int, cond_shape, batch: int,
+                 mesh=None):
+    key_ = (id(model), n_realizations, P, scfg.sampler, scfg.ddim_steps,
+            scfg.ddim_eta, scfg.temperature, truncate_steps, T,
+            tuple(cond_shape), batch, id(mesh) if mesh is not None else None)
+    fn = _ENSEMBLE_CACHE.get(key_)
+    if fn is not None:
+        return fn
+
+    if scfg.sampler == "ddim":
+        sampler = functools.partial(sample_ddim, num_steps=scfg.ddim_steps,
+                                    eta=scfg.ddim_eta)
+    else:
+        sampler = functools.partial(sample_ancestral,
+                                    truncate_steps=truncate_steps,
+                                    temperature=scfg.temperature)
+
+    shard_chains = None
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.devices.shape)))
+        if (n_realizations * batch) % n_dev == 0:
+            shard_chains = batch_sharding(mesh)
+
+    @jax.jit
+    def run(params, condition, key, schedule):
+        B = condition.shape[0]
+        cond_ctx = model.apply({"params": params}, condition,
+                               method=model.encode_condition)
+        # realization-major layout — index r*B + b — so the reshape below
+        # is exact
+        ctx_tiled = jax.tree_util.tree_map(
+            lambda a: jnp.tile(a, (n_realizations,) + (1,) * (a.ndim - 1)),
+            cond_ctx)
+        if shard_chains is not None:
+            # chains shard over the mesh 'data' axis (the condition batch
+            # alone may not divide the mesh; n_real*B usually does)
+            ctx_tiled = jax.lax.with_sharding_constraint(ctx_tiled,
+                                                         shard_chains)
+
+        def denoise_fn(x, t):
+            return model.apply({"params": params}, x, t, ctx_tiled,
+                               method=model.denoise)
+
+        u = sampler(denoise_fn, key, (n_realizations * B, P),
+                    schedule=schedule)
+        return u.reshape(n_realizations, B, P)
+
+    _ENSEMBLE_CACHE[key_] = run
+    return run
 
 
 def posterior_ensemble(model, params, condition: jax.Array,
@@ -44,35 +101,18 @@ def posterior_ensemble(model, params, condition: jax.Array,
 
     condition: (B, L, C). The reference's equivalent is the Python loop of
     50 sequential `sample_model` calls (ERT_Conditional_Diffusion.py:396-412).
+    The whole run — condition encode, realization tiling, T-step reverse
+    scan — is ONE jitted program, cached across calls.
     """
     scfg = scfg or SampleConfig(uncertainty_samples=n_realizations)
-    B = condition.shape[0]
     P = param_dim or getattr(model, "param_dim", 29)
-    total = n_realizations * B
-
-    cond_ctx = model.apply({"params": params}, condition,
-                           method=model.encode_condition)
-    # layout: realization-major — index r*B + b — so reshape below is exact
-    ctx_tiled = jax.tree_util.tree_map(
-        lambda a: jnp.tile(a, (n_realizations,) + (1,) * (a.ndim - 1)),
-        cond_ctx)
     if mesh is not None:
-        ctx_tiled = jax.device_put(ctx_tiled, batch_sharding(mesh))
-
-    def denoise_fn(x, t):
-        return model.apply({"params": params}, x, t, ctx_tiled,
-                           method=model.denoise)
-
-    if scfg.sampler == "ddim":
-        sampler = functools.partial(sample_ddim, num_steps=scfg.ddim_steps,
-                                    eta=scfg.ddim_eta)
-    else:
-        sampler = functools.partial(sample_ancestral,
-                                    truncate_steps=truncate_steps,
-                                    temperature=scfg.temperature)
-
-    u = sampler(denoise_fn, key, (total, P), schedule=schedule)
-    return u.reshape(n_realizations, B, P)
+        condition = jax.device_put(condition, replicated(mesh))
+        params = jax.device_put(params, replicated(mesh))
+    run = _ensemble_fn(model, n_realizations, P, scfg, truncate_steps,
+                       schedule.num_steps, condition.shape[1:],
+                       condition.shape[0], mesh)
+    return run(params, condition, key, schedule)
 
 
 def inverse_pipeline(u: jax.Array, param_scaler, a: float = 0.0,

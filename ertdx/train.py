@@ -40,19 +40,37 @@ from .utils.logging import MetricsLogger
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState; `step` counts optimizer updates."""
+    """flax TrainState; `step` counts optimizer updates.
+
+    ema_params: optional exponential moving average of params (standard
+    diffusion-sampling practice; absent in the reference). None = off.
+    """
+
+    ema_params: Optional[dict] = None
+
+
+def _ema_update(state: "TrainState", decay: float) -> "TrainState":
+    if state.ema_params is None:
+        return state
+    new_ema = jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p,
+        state.ema_params, state.params)
+    return state.replace(ema_params=new_ema)
 
 
 def create_train_state(model: nn.Module, key: jax.Array, lr: float,
                        batch_size: int, cond_shape: Tuple[int, int],
-                       param_dim: int) -> TrainState:
+                       param_dim: int, ema: bool = False) -> TrainState:
     x = jnp.zeros((batch_size, param_dim), jnp.float32)
     t = jnp.zeros((batch_size,), jnp.int32)
     cond = jnp.zeros((batch_size,) + tuple(cond_shape), jnp.float32)
     variables = model.init(key, x, t, cond)
     tx = optax.adam(lr)
+    ema_params = (jax.tree_util.tree_map(jnp.copy, variables["params"])
+                  if ema else None)
     return TrainState.create(apply_fn=model.apply,
-                             params=variables["params"], tx=tx)
+                             params=variables["params"], tx=tx,
+                             ema_params=ema_params)
 
 
 def weighted_eps_mse(eps_hat: jax.Array, eps: jax.Array,
@@ -66,7 +84,7 @@ def weighted_eps_mse(eps_hat: jax.Array, eps: jax.Array,
 
 
 def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
-                    donate: bool = True):
+                    donate: bool = True, ema_decay: float = 0.0):
     T = schedule.num_steps
     alpha_bar = schedule.alpha_bar
 
@@ -83,13 +101,16 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
             return weighted_eps_mse(eps_hat, noise, w)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return state.apply_gradients(grads=grads), loss
+        state = state.apply_gradients(grads=grads)
+        if ema_decay > 0.0:
+            state = _ema_update(state, ema_decay)
+        return state, loss
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
-                    donate: bool = True):
+                    donate: bool = True, ema_decay: float = 0.0):
     """Whole-epoch train step: one dispatch, lax.scan over batches.
 
     The per-step model is tiny (SURVEY.md §6), so per-dispatch latency
@@ -122,7 +143,10 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
                 return jnp.mean((eps_hat - noise) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            return (state.apply_gradients(grads=grads),), loss
+            state = state.apply_gradients(grads=grads)
+            if ema_decay > 0.0:
+                state = _ema_update(state, ema_decay)
+            return (state,), loss
 
         keys = jax.random.split(key, batch_idx.shape[0])
         (state,), losses = jax.lax.scan(body, (state,), (batch_idx, keys))
@@ -132,7 +156,7 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
 
 
 def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
-                   donate: bool = True):
+                   donate: bool = True, ema_decay: float = 0.0):
     """Multi-epoch train+val in ONE dispatch: scan(epochs) of scan(batches).
 
     Removes per-dispatch host latency entirely for E epochs at a time
@@ -162,7 +186,10 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
                 return jnp.mean((eps_hat - noise) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            return state.apply_gradients(grads=grads), loss
+            state = state.apply_gradients(grads=grads)
+            if ema_decay > 0.0:
+                state = _ema_update(state, ema_decay)
+            return state, loss
 
         def epoch_body(state, inp):
             bidx, ekey, vkey = inp
@@ -288,7 +315,8 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
     init_key, train_key, val_key = jax.random.split(root_key, 3)
 
     state = create_train_state(model, init_key, tcfg.lr, tcfg.batch_size,
-                               dataset.cond_shape, dataset.param_dim)
+                               dataset.cond_shape, dataset.param_dim,
+                               ema=tcfg.ema_decay > 0.0)
 
     data_shard = None
     if mesh is not None:
@@ -303,7 +331,8 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
     x0_va, cond_va = dataset.params_u[val_idx], dataset.conditions[val_idx]
 
     if device_resident:
-        epoch_step = make_epoch_step(model.apply, schedule)
+        epoch_step = make_epoch_step(model.apply, schedule,
+                                     ema_decay=tcfg.ema_decay)
         eval_epoch = make_eval_epoch(model.apply, schedule)
         x0_tr_d = jax.device_put(jnp.asarray(x0_tr))
         cond_tr_d = jax.device_put(jnp.asarray(cond_tr))
@@ -318,7 +347,8 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
         v_idx_d = jax.device_put(jnp.asarray(v_idx))
         v_w_d = jax.device_put(jnp.asarray(v_w))
     else:
-        train_step = make_train_step(model.apply, schedule)
+        train_step = make_train_step(model.apply, schedule,
+                                     ema_decay=tcfg.ema_decay)
         eval_step = make_eval_step(model.apply, schedule)
 
     best_val = float("inf")
@@ -330,13 +360,14 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
     if resume and checkpoint_dir:
         last_dir = Path(checkpoint_dir) / "last"
         if (last_dir / "state.msgpack").exists():
-            template = {"params": state.params,
-                        "opt_state": state.opt_state, "step": state.step}
+            template = _state_dict(state)
             restored, meta, _ = ckpt_lib.restore_checkpoint(last_dir,
                                                             template)
-            state = state.replace(params=restored["params"],
-                                  opt_state=restored["opt_state"],
-                                  step=restored["step"])
+            state = state.replace(
+                params=restored["params"],
+                opt_state=restored["opt_state"], step=restored["step"],
+                ema_params=restored.get("ema_params",
+                                        state.ema_params))
             if mesh is not None:
                 state = jax.device_put(state, replicated(mesh))
             start_epoch = int(meta.get("epoch", 0))
@@ -349,7 +380,8 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
 
     K = tcfg.epochs_per_dispatch
     if device_resident and K > 1:
-        run_fn = make_train_run(model.apply, schedule)
+        run_fn = make_train_run(model.apply, schedule,
+                                ema_decay=tcfg.ema_decay)
         epoch = start_epoch
         while epoch < tcfg.num_epochs:
             k_now = min(K, tcfg.num_epochs - epoch)
@@ -387,9 +419,7 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                     # snapshot granularity = chunk boundary (documented)
                     ckpt_lib.save_checkpoint(
                         f"{checkpoint_dir}/best",
-                        {"params": state.params,
-                         "opt_state": state.opt_state,
-                         "step": state.step},
+                        _state_dict(state),
                         {"epoch": best_epoch + 1,
                          "best_val_loss": best_val,
                          "snapshot_epoch": epoch + k_now,
@@ -404,8 +434,7 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                     and epoch % max(tcfg.step_checkpoint_every, 1) < k_now):
                 ckpt_lib.save_checkpoint(
                     f"{checkpoint_dir}/last",
-                    {"params": state.params, "opt_state": state.opt_state,
-                     "step": state.step},
+                    _state_dict(state),
                     {"epoch": epoch, "best_val_loss": best_val,
                      "best_epoch": best_epoch,
                      "train_history": train_hist, "val_history": val_hist,
@@ -483,9 +512,7 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
             if checkpoint_dir:
                 ckpt_lib.save_checkpoint(
                     f"{checkpoint_dir}/best",
-                    {"params": state.params,
-                     "opt_state": state.opt_state,
-                     "step": state.step},
+                    _state_dict(state),
                     {"epoch": epoch + 1, "best_val_loss": best_val,
                      "train_history": train_hist, "val_history": val_hist,
                      "param_dim": dataset.param_dim,
@@ -496,8 +523,7 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                 and (epoch + 1) % tcfg.step_checkpoint_every == 0):
             ckpt_lib.save_checkpoint(
                 f"{checkpoint_dir}/last",
-                {"params": state.params, "opt_state": state.opt_state,
-                 "step": state.step},
+                _state_dict(state),
                 {"epoch": epoch + 1, "best_val_loss": best_val,
                  "best_epoch": best_epoch, "train_history": train_hist,
                  "val_history": val_hist,
@@ -530,15 +556,24 @@ def load_best_model(checkpoint_dir: str, cfg: ExperimentConfig,
     else:
         cond_shape, param_dim = dataset_or_shapes
     state = create_train_state(model, jax.random.key(0), cfg.train.lr,
-                               cfg.train.batch_size, cond_shape, param_dim)
-    template = {"params": state.params, "opt_state": state.opt_state,
-                "step": state.step}
+                               cfg.train.batch_size, cond_shape, param_dim,
+                               ema=cfg.train.ema_decay > 0.0)
+    template = _state_dict(state)
     restored, meta, scalers = ckpt_lib.restore_checkpoint(
         f"{checkpoint_dir}/best", template)
-    state = state.replace(params=restored["params"],
-                          opt_state=restored["opt_state"],
-                          step=restored["step"])
+    state = state.replace(
+        params=restored["params"], opt_state=restored["opt_state"],
+        step=restored["step"],
+        ema_params=restored.get("ema_params", state.ema_params))
     return state, meta, scalers
+
+
+def _state_dict(state: TrainState) -> dict:
+    d = {"params": state.params, "opt_state": state.opt_state,
+         "step": state.step}
+    if state.ema_params is not None:
+        d["ema_params"] = state.ema_params
+    return d
 
 
 def _put(x0, cond, w, sharding):
