@@ -68,12 +68,12 @@ def _measure_train(model_name: str, steps: int = 30, warmup: int = 5
 
     for i in range(warmup):
         state, loss = step(state, x0, cond, w, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params)
+    _ = float(loss)
     t0 = time.perf_counter()
     for i in range(steps):
         state, loss = step(state, x0, cond, w,
                            jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(state.params)
+    _ = float(loss)  # host read: the only reliable sync on this backend
     return steps / (time.perf_counter() - t0)
 
 
@@ -115,15 +115,17 @@ def _measure_train_epoch_scan(model_name: str, n_pool: int = 1024,
     vkeys = jax.random.split(jax.random.key(2), E)
     n_steps = E * bidx.shape[1]
 
-    state, _, _ = run_fn(state, x0_all, cond_all, bidx, ekeys,
-                         x0_va, cond_va, v_idx, v_w, vkeys)
-    jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        state, _, _ = run_fn(state, x0_all, cond_all, bidx, ekeys,
-                             x0_va, cond_va, v_idx, v_w, vkeys)
-    jax.block_until_ready(state.params)
-    return repeats * n_steps / (time.perf_counter() - t0)
+    state, tr, _ = run_fn(state, x0_all, cond_all, bidx, ekeys,
+                          x0_va, cond_va, v_idx, v_w, vkeys)
+    _ = float(tr[-1])
+    times = []
+    for _ in range(max(repeats, 3)):
+        t0 = time.perf_counter()
+        state, tr, _ = run_fn(state, x0_all, cond_all, bidx, ekeys,
+                              x0_va, cond_va, v_idx, v_w, vkeys)
+        _ = float(tr[-1])  # host read: reliable sync on this backend
+        times.append(time.perf_counter() - t0)
+    return n_steps / sorted(times)[len(times) // 2]
 
 
 def _measure_sampling(n_real: int = 32, repeats: int = 5) -> dict:
@@ -148,11 +150,11 @@ def _measure_sampling(n_real: int = 32, repeats: int = 5) -> dict:
     run = lambda k: posterior_ensemble(model, state.params, cond, sch, k,
                                        n_realizations=n_real)
     out = run(jax.random.key(2))
-    jax.block_until_ready(out)
+    _ = float(out[0, 0, 0])
     t0 = time.perf_counter()
     for i in range(repeats):
         out = run(jax.random.key(3 + i))
-        jax.block_until_ready(out)  # force each call (async queue hides it)
+        _ = float(out[0, 0, 0])  # host read: reliable sync on this backend
     dt = (time.perf_counter() - t0) / repeats
     chains = n_real * REF_BATCH
     return {"chains_per_sec": chains / dt,

@@ -28,7 +28,8 @@ class ModelConfig:
     depth: int = 3
     num_heads: int = 4
     num_blocks: int = 4
-    use_pallas: bool = True        # pallas kernels on TPU, XLA fallback off-TPU
+    use_pallas: bool = True        # pallas flash attention on TPU
+    pallas_gn: bool = False        # pallas fused GN (XLA wins at small C)
 
 
 @dataclasses.dataclass(frozen=True)

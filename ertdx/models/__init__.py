@@ -25,7 +25,8 @@ def build_model(cfg: ModelConfig):
                         cond_channels=cfg.cond_channels,
                         base_width=cfg.base_width, depth=cfg.depth,
                         num_heads=cfg.num_heads, num_blocks=cfg.num_blocks,
-                        use_pallas=cfg.use_pallas)
+                        use_pallas=cfg.use_pallas,
+                        pallas_gn=cfg.pallas_gn)
     raise ValueError(f"unknown model {cfg.name!r}")
 
 

@@ -85,11 +85,13 @@ def weighted_eps_mse(eps_hat: jax.Array, eps: jax.Array,
 
 def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
                     donate: bool = True, ema_decay: float = 0.0):
+    # schedule arrays are passed as jit ARGUMENTS, not closure constants:
+    # embedded constants inside scanned/jitted bodies execute pathologically
+    # slowly on this backend (~20x; see docs/DESIGN.md)
     T = schedule.num_steps
-    alpha_bar = schedule.alpha_bar
 
-    def step(state: TrainState, x0: jax.Array, cond: jax.Array,
-             w: jax.Array, key: jax.Array):
+    def _step(state: TrainState, x0: jax.Array, cond: jax.Array,
+              w: jax.Array, key: jax.Array, alpha_bar: jax.Array):
         B = x0.shape[0]
         kt, kn = jax.random.split(key)
         t = jax.random.randint(kt, (B,), 0, T, dtype=jnp.int32)
@@ -106,7 +108,12 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
             state = _ema_update(state, ema_decay)
         return state, loss
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(_step, donate_argnums=(0,) if donate else ())
+
+    def step(state, x0, cond, w, key):
+        return jitted(state, x0, cond, w, key, schedule.alpha_bar)
+
+    return step
 
 
 def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
@@ -125,16 +132,23 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
     Returns (state, mean epoch loss).
     """
     T = schedule.num_steps
-    alpha_bar = schedule.alpha_bar
 
-    def epoch(state: TrainState, x0_all, cond_all, batch_idx, key):
+    def _epoch(state: TrainState, x0_all, cond_all, batch_idx, key,
+               alpha_bar):
+        # one bulk gather per epoch — a per-step jnp.take inside the scan
+        # body costs ~10 ms/step on this backend (docs/DESIGN.md §5b)
+        nb, bsz = batch_idx.shape
+        flat = batch_idx.reshape(-1)
+        x0_b = jnp.take(x0_all, flat, axis=0).reshape(
+            nb, bsz, *x0_all.shape[1:])
+        cond_b = jnp.take(cond_all, flat, axis=0).reshape(
+            nb, bsz, *cond_all.shape[1:])
+
         def body(carry, inp):
             state, = carry
-            idx, k = inp
-            x0 = jnp.take(x0_all, idx, axis=0)
-            cond = jnp.take(cond_all, idx, axis=0)
+            x0, cond, k = inp
             kt, kn = jax.random.split(k)
-            t = jax.random.randint(kt, (idx.shape[0],), 0, T, jnp.int32)
+            t = jax.random.randint(kt, (x0.shape[0],), 0, T, jnp.int32)
             noise = jax.random.normal(kn, x0.shape, x0.dtype)
             x_noisy = q_sample(x0, t, noise, alpha_bar)
 
@@ -149,10 +163,17 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
             return (state,), loss
 
         keys = jax.random.split(key, batch_idx.shape[0])
-        (state,), losses = jax.lax.scan(body, (state,), (batch_idx, keys))
+        (state,), losses = jax.lax.scan(body, (state,),
+                                        (x0_b, cond_b, keys))
         return state, jnp.mean(losses)
 
-    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(_epoch, donate_argnums=(0,) if donate else ())
+
+    def epoch(state, x0_all, cond_all, batch_idx, key):
+        return jitted(state, x0_all, cond_all, batch_idx, key,
+                      schedule.alpha_bar)
+
+    return epoch
 
 
 def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
@@ -168,16 +189,13 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
       -> (state, train_losses (E,), val_losses (E,))
     """
     T = schedule.num_steps
-    alpha_bar = schedule.alpha_bar
 
-    def run(state, x0_tr, cond_tr, batch_idx, epoch_keys,
-            x0_va, cond_va, val_idx, val_w, val_keys):
+    def _run(state, x0_tr, cond_tr, batch_idx, epoch_keys,
+             x0_va, cond_va, val_idx, val_w, val_keys, alpha_bar):
         def batch_body(state, inp):
-            idx, k = inp
-            x0 = jnp.take(x0_tr, idx, axis=0)
-            cond = jnp.take(cond_tr, idx, axis=0)
+            x0, cond, k = inp
             kt, kn = jax.random.split(k)
-            t = jax.random.randint(kt, (idx.shape[0],), 0, T, jnp.int32)
+            t = jax.random.randint(kt, (x0.shape[0],), 0, T, jnp.int32)
             noise = jax.random.normal(kn, x0.shape, x0.dtype)
             x_noisy = q_sample(x0, t, noise, alpha_bar)
 
@@ -194,14 +212,27 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
         def epoch_body(state, inp):
             bidx, ekey, vkey = inp
             bkeys = jax.random.split(ekey, bidx.shape[0])
-            state, losses = jax.lax.scan(batch_body, state, (bidx, bkeys))
+            nb, bsz = bidx.shape
+            flat = bidx.reshape(-1)
+            # bulk per-epoch gather (per-step takes are pathological here)
+            x0_b = jnp.take(x0_tr, flat, axis=0).reshape(
+                nb, bsz, *x0_tr.shape[1:])
+            cond_b = jnp.take(cond_tr, flat, axis=0).reshape(
+                nb, bsz, *cond_tr.shape[1:])
+            state, losses = jax.lax.scan(batch_body, state,
+                                         (x0_b, cond_b, bkeys))
+
+            nv, bv = val_idx.shape
+            vflat = val_idx.reshape(-1)
+            x0_vb = jnp.take(x0_va, vflat, axis=0).reshape(
+                nv, bv, *x0_va.shape[1:])
+            cond_vb = jnp.take(cond_va, vflat, axis=0).reshape(
+                nv, bv, *cond_va.shape[1:])
 
             def val_body(_, vinp):
-                idx, w, k = vinp
-                x0 = jnp.take(x0_va, idx, axis=0)
-                cond = jnp.take(cond_va, idx, axis=0)
+                x0, cond, w, k = vinp
                 kt, kn = jax.random.split(k)
-                t = jax.random.randint(kt, (idx.shape[0],), 0, T, jnp.int32)
+                t = jax.random.randint(kt, (x0.shape[0],), 0, T, jnp.int32)
                 noise = jax.random.normal(kn, x0.shape, x0.dtype)
                 x_noisy = q_sample(x0, t, noise, alpha_bar)
                 eps_hat = apply_fn({"params": state.params}, x_noisy, t,
@@ -211,7 +242,7 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
 
             vkeys = jax.random.split(vkey, val_idx.shape[0])
             _, (num, den) = jax.lax.scan(val_body, None,
-                                         (val_idx, val_w, vkeys))
+                                         (x0_vb, cond_vb, val_w, vkeys))
             vloss = jnp.sum(num) / jnp.maximum(jnp.sum(den), 1.0)
             return state, (jnp.mean(losses), vloss)
 
@@ -219,15 +250,22 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
             epoch_body, state, (batch_idx, epoch_keys, val_keys))
         return state, tr, va
 
-    return jax.jit(run, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(_run, donate_argnums=(0,) if donate else ())
+
+    def run(state, x0_tr, cond_tr, batch_idx, epoch_keys,
+            x0_va, cond_va, val_idx, val_w, val_keys):
+        return jitted(state, x0_tr, cond_tr, batch_idx, epoch_keys,
+                      x0_va, cond_va, val_idx, val_w, val_keys,
+                      schedule.alpha_bar)
+
+    return run
 
 
 def make_eval_step(apply_fn: Callable, schedule: DiffusionSchedule):
     T = schedule.num_steps
-    alpha_bar = schedule.alpha_bar
 
-    def step(params, x0: jax.Array, cond: jax.Array, w: jax.Array,
-             key: jax.Array):
+    def _step(params, x0: jax.Array, cond: jax.Array, w: jax.Array,
+              key: jax.Array, alpha_bar: jax.Array):
         B = x0.shape[0]
         kt, kn = jax.random.split(key)
         t = jax.random.randint(kt, (B,), 0, T, dtype=jnp.int32)
@@ -236,31 +274,48 @@ def make_eval_step(apply_fn: Callable, schedule: DiffusionSchedule):
         eps_hat = apply_fn({"params": params}, x_noisy, t, cond)
         return weighted_eps_mse(eps_hat, noise, w)
 
-    return jax.jit(step)
+    jitted = jax.jit(_step)
+
+    def step(params, x0, cond, w, key):
+        return jitted(params, x0, cond, w, key, schedule.alpha_bar)
+
+    return step
 
 
 def make_eval_epoch(apply_fn: Callable, schedule: DiffusionSchedule):
     """Whole-val-set eval in one dispatch (scan over batches)."""
     T = schedule.num_steps
-    alpha_bar = schedule.alpha_bar
 
-    def epoch(params, x0_all, cond_all, batch_idx, w_all, key):
+    def _epoch(params, x0_all, cond_all, batch_idx, w_all, key,
+               alpha_bar):
+        nb, bsz = batch_idx.shape
+        flat = batch_idx.reshape(-1)
+        x0_b = jnp.take(x0_all, flat, axis=0).reshape(
+            nb, bsz, *x0_all.shape[1:])
+        cond_b = jnp.take(cond_all, flat, axis=0).reshape(
+            nb, bsz, *cond_all.shape[1:])
+
         def body(_, inp):
-            idx, w, k = inp
-            x0 = jnp.take(x0_all, idx, axis=0)
-            cond = jnp.take(cond_all, idx, axis=0)
+            x0, cond, w, k = inp
             kt, kn = jax.random.split(k)
-            t = jax.random.randint(kt, (idx.shape[0],), 0, T, jnp.int32)
+            t = jax.random.randint(kt, (x0.shape[0],), 0, T, jnp.int32)
             noise = jax.random.normal(kn, x0.shape, x0.dtype)
             x_noisy = q_sample(x0, t, noise, alpha_bar)
             eps_hat = apply_fn({"params": params}, x_noisy, t, cond)
             per_ex = jnp.mean((eps_hat - noise) ** 2, axis=-1)
             return None, (jnp.sum(per_ex * w), jnp.sum(w))
         keys = jax.random.split(key, batch_idx.shape[0])
-        _, (num, den) = jax.lax.scan(body, None, (batch_idx, w_all, keys))
+        _, (num, den) = jax.lax.scan(body, None,
+                                     (x0_b, cond_b, w_all, keys))
         return jnp.sum(num) / jnp.maximum(jnp.sum(den), 1.0)
 
-    return jax.jit(epoch)
+    jitted = jax.jit(_epoch)
+
+    def epoch(params, x0_all, cond_all, batch_idx, w_all, key):
+        return jitted(params, x0_all, cond_all, batch_idx, w_all, key,
+                      schedule.alpha_bar)
+
+    return epoch
 
 
 def _epoch_batches(n: int, batch_size: int, order: np.ndarray):
