@@ -162,6 +162,41 @@ def _measure_sampling(n_real: int = 32, repeats: int = 5) -> dict:
             "ensemble_seconds": dt}
 
 
+def _measure_ddim_1000_ensemble() -> dict:
+    """North-star workload (BASELINE configs[3]): a 1000-member posterior
+    ensemble per condition batch with the DDIM 50-step sampler."""
+    from ertdx.configs import ModelConfig, SampleConfig
+    from ertdx.diffusion import get_diffusion_schedule
+    from ertdx.models import build_model
+    from ertdx.sample import posterior_ensemble
+    from ertdx.train import create_train_state
+
+    cfg = dataclasses.replace(ModelConfig(), cond_length=REF_LEN,
+                              cond_channels=REF_CH)
+    model = build_model(cfg)
+    sch = get_diffusion_schedule(T)
+    state = create_train_state(model, jax.random.key(0), 1e-4, REF_BATCH,
+                               (REF_LEN, REF_CH), PARAM_DIM)
+    cond = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(REF_BATCH, REF_LEN, REF_CH)),
+        jnp.float32)
+    scfg = SampleConfig(uncertainty_samples=1000, sampler="ddim",
+                        ddim_steps=50)
+    run = lambda k: posterior_ensemble(model, state.params, cond, sch, k,
+                                       n_realizations=1000, scfg=scfg)
+    out = run(jax.random.key(2))
+    _ = float(out[0, 0, 0])
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = run(jax.random.key(3 + i))
+        _ = float(out[0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    return {"ddim50_1000member_ensemble_seconds": dt,
+            "ddim50_1000member_chains_per_sec": 1000 * REF_BATCH / dt}
+
+
 def main() -> int:
     backend = jax.default_backend()
     baseline = _baseline_steps_per_sec()
@@ -184,6 +219,10 @@ def main() -> int:
         extras.update(_measure_sampling())
     except Exception as e:  # noqa: BLE001
         extras["sampling_error"] = str(e)[:200]
+    try:
+        extras.update(_measure_ddim_1000_ensemble())
+    except Exception as e:  # noqa: BLE001
+        extras["ddim_ensemble_error"] = str(e)[:200]
 
     record = {
         "metric": "ref-grid conditional denoiser train steps/sec/chip",

@@ -34,9 +34,14 @@ def _load_cfg(args) -> "configs.ExperimentConfig":
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))
+    model_overrides = {}
     if getattr(args, "model", None):
+        model_overrides["name"] = args.model
+    if getattr(args, "dtype", None):
+        model_overrides["dtype"] = args.dtype
+    if model_overrides:
         cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, name=args.model))
+            cfg, model=dataclasses.replace(cfg.model, **model_overrides))
     return cfg
 
 
@@ -258,6 +263,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--ert", required=True)
     t.add_argument("--preset", default="ref_default")
     t.add_argument("--model", choices=["refmlp", "condunet"], default=None)
+    t.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
+                   help="condunet compute dtype (params stay float32)")
     t.add_argument("--epochs", type=int, default=None)
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--seed", type=int, default=None)

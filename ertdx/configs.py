@@ -30,6 +30,8 @@ class ModelConfig:
     num_blocks: int = 4
     use_pallas: bool = True        # pallas flash attention on TPU
     pallas_gn: bool = False        # pallas fused GN (XLA wins at small C)
+    dtype: str = "float32"         # condunet compute dtype ("bfloat16"
+                                   # for MXU-native training; params f32)
 
 
 @dataclasses.dataclass(frozen=True)

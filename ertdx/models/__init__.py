@@ -21,12 +21,14 @@ def build_model(cfg: ModelConfig):
         return UncondMLP(param_dim=cfg.param_dim,
                          hidden_dim=cfg.hidden_dim)
     if cfg.name == "condunet":
+        import jax.numpy as jnp
         return CondUNet(param_dim=cfg.param_dim, hidden_dim=cfg.hidden_dim,
                         cond_channels=cfg.cond_channels,
                         base_width=cfg.base_width, depth=cfg.depth,
                         num_heads=cfg.num_heads, num_blocks=cfg.num_blocks,
                         use_pallas=cfg.use_pallas,
-                        pallas_gn=cfg.pallas_gn)
+                        pallas_gn=cfg.pallas_gn,
+                        dtype=jnp.dtype(cfg.dtype))
     raise ValueError(f"unknown model {cfg.name!r}")
 
 

@@ -57,17 +57,21 @@ class ResBlock1D(nn.Module):
     features: int
     num_groups: int = 8
     use_pallas: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None):
         h = GNSiLU(self.num_groups, self.use_pallas)(x)
-        h = nn.Conv(self.features, (3,), padding="SAME")(h)
+        h = nn.Conv(self.features, (3,), padding="SAME",
+                    dtype=self.dtype)(h)
         if temb is not None:
-            h = h + nn.Dense(self.features)(nn.silu(temb))[:, None, :]
+            h = h + nn.Dense(self.features,
+                             dtype=self.dtype)(nn.silu(temb))[:, None, :]
         h = GNSiLU(self.num_groups, self.use_pallas)(h)
-        h = nn.Conv(self.features, (3,), padding="SAME")(h)
+        h = nn.Conv(self.features, (3,), padding="SAME",
+                    dtype=self.dtype)(h)
         skip = x if x.shape[-1] == self.features else nn.Conv(
-            self.features, (1,))(x)
+            self.features, (1,), dtype=self.dtype)(x)
         return skip + h
 
 
@@ -76,13 +80,14 @@ class SelfAttention1D(nn.Module):
 
     num_heads: int
     use_pallas: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None):
         b, l, c = x.shape
         dh = c // self.num_heads
-        h = nn.LayerNorm()(x)
-        qkv = nn.Dense(3 * c, use_bias=False)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype)(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):
@@ -99,7 +104,7 @@ class SelfAttention1D(nn.Module):
             mask = jnp.pad(base, ((0, 0), (0, lp - l)))
         out = flash_attention(q, k, v, mask, self.use_pallas)
         out = out[:, :, :l, :].transpose(0, 2, 1, 3).reshape(b, l, c)
-        return x + nn.Dense(c)(out)
+        return x + nn.Dense(c, dtype=self.dtype)(out)
 
 
 class ConditionEncoder(nn.Module):
@@ -121,6 +126,7 @@ class ConditionEncoder(nn.Module):
     patch: int = 8
     use_pallas: bool = True
     pallas_gn: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, condition) -> Tuple[jax.Array, jax.Array]:
@@ -130,28 +136,37 @@ class ConditionEncoder(nn.Module):
             condition = jnp.pad(condition, ((0, 0), (0, lp - l), (0, 0)))
         h = condition.reshape(b, lp // self.patch, self.patch * c)
         w0 = 2 * self.base_width
-        h = nn.Dense(w0)(h)                               # patchify stem
-        h = ResBlock1D(w0, use_pallas=self.pallas_gn)(h)
+        h = nn.Dense(w0, dtype=self.dtype)(h)             # patchify stem
+        h = ResBlock1D(w0, use_pallas=self.pallas_gn, dtype=self.dtype)(h)
         for i in range(self.depth - 1):
             w = min(w0 * (2 ** (i + 1)), 4 * self.base_width)
-            h = nn.Conv(w, (3,), strides=(2,), padding="SAME")(h)
-            h = ResBlock1D(w, use_pallas=self.pallas_gn)(h)
-        h = SelfAttention1D(self.num_heads, self.use_pallas)(h)
-        h = ResBlock1D(h.shape[-1], use_pallas=self.pallas_gn)(h)
-        tokens = nn.Dense(self.hidden_dim)(h)            # (B, Lc, D)
+            h = nn.Conv(w, (3,), strides=(2,), padding="SAME",
+                        dtype=self.dtype)(h)
+            h = ResBlock1D(w, use_pallas=self.pallas_gn,
+                           dtype=self.dtype)(h)
+        h = SelfAttention1D(self.num_heads, self.use_pallas,
+                            dtype=self.dtype)(h)
+        h = ResBlock1D(h.shape[-1], use_pallas=self.pallas_gn,
+                       dtype=self.dtype)(h)
+        tokens = nn.Dense(self.hidden_dim, dtype=self.dtype)(h)
         pooled = jnp.mean(tokens, axis=1)                # (B, D)
-        pooled = nn.silu(nn.Dense(self.hidden_dim)(pooled))
+        pooled = nn.silu(nn.Dense(self.hidden_dim,
+                                  dtype=self.dtype)(pooled))
         return tokens, pooled
 
 
 class AdaLN(nn.Module):
     """Adaptive LayerNorm: scale/shift from the conditioning vector."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x, c):
         d = x.shape[-1]
-        h = nn.LayerNorm(use_bias=False, use_scale=False)(x)
-        ss = nn.Dense(2 * d, kernel_init=nn.initializers.zeros)(nn.silu(c))
+        h = nn.LayerNorm(use_bias=False, use_scale=False,
+                         dtype=self.dtype)(x)
+        ss = nn.Dense(2 * d, kernel_init=nn.initializers.zeros,
+                      dtype=self.dtype)(nn.silu(c))
         scale, shift = jnp.split(ss, 2, axis=-1)
         return h * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
@@ -160,6 +175,7 @@ class CoreBlock(nn.Module):
     """AdaLN-conditioned [self-attn, cross-attn to cond tokens, MLP]."""
 
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond_tokens, cvec):
@@ -169,30 +185,32 @@ class CoreBlock(nn.Module):
         def heads(z, l):
             return z.reshape(b, l, self.num_heads, dh).transpose(0, 2, 1, 3)
 
+        dense = lambda feats, **kw: nn.Dense(feats, dtype=self.dtype, **kw)
+
         # self-attention over the P parameter tokens (tiny: XLA path)
-        h = AdaLN()(x, cvec)
-        q = heads(nn.Dense(d, use_bias=False)(h), p)
-        k = heads(nn.Dense(d, use_bias=False)(h), p)
-        v = heads(nn.Dense(d, use_bias=False)(h), p)
+        h = AdaLN(self.dtype)(x, cvec)
+        q = heads(dense(d, use_bias=False)(h), p)
+        k = heads(dense(d, use_bias=False)(h), p)
+        v = heads(dense(d, use_bias=False)(h), p)
         a = reference_attention(q, k, v)
         a = a.transpose(0, 2, 1, 3).reshape(b, p, d)
-        x = x + nn.Dense(d, kernel_init=nn.initializers.zeros)(a)
+        x = x + dense(d, kernel_init=nn.initializers.zeros)(a)
 
         # cross-attention to the condition tokens
-        h = AdaLN()(x, cvec)
+        h = AdaLN(self.dtype)(x, cvec)
         lc = cond_tokens.shape[1]
-        q = heads(nn.Dense(d, use_bias=False)(h), p)
-        k = heads(nn.Dense(d, use_bias=False)(cond_tokens), lc)
-        v = heads(nn.Dense(d, use_bias=False)(cond_tokens), lc)
+        q = heads(dense(d, use_bias=False)(h), p)
+        k = heads(dense(d, use_bias=False)(cond_tokens), lc)
+        v = heads(dense(d, use_bias=False)(cond_tokens), lc)
         a = reference_attention(q, k, v)
         a = a.transpose(0, 2, 1, 3).reshape(b, p, d)
-        x = x + nn.Dense(d, kernel_init=nn.initializers.zeros)(a)
+        x = x + dense(d, kernel_init=nn.initializers.zeros)(a)
 
         # MLP
-        h = AdaLN()(x, cvec)
-        h = nn.Dense(4 * d)(h)
+        h = AdaLN(self.dtype)(x, cvec)
+        h = dense(4 * d)(h)
         h = nn.gelu(h)
-        x = x + nn.Dense(d, kernel_init=nn.initializers.zeros)(h)
+        x = x + dense(d, kernel_init=nn.initializers.zeros)(h)
         return x
 
 
@@ -207,21 +225,24 @@ class CondUNet(nn.Module):
     use_pallas: bool = True      # pallas flash attention (wins vs XLA here)
     pallas_gn: bool = False      # XLA's fused GN beats the pallas GN at
                                  # these widths (measured); flip at larger C
+    dtype: Any = jnp.float32     # compute dtype (params stay f32);
+                                 # jnp.bfloat16 for MXU-native training
 
     def setup(self):
         self.encoder = ConditionEncoder(
             hidden_dim=self.hidden_dim, base_width=self.base_width,
             depth=self.depth, num_heads=self.num_heads,
-            use_pallas=self.use_pallas, pallas_gn=self.pallas_gn)
-        self.lift = nn.Dense(self.hidden_dim)
+            use_pallas=self.use_pallas, pallas_gn=self.pallas_gn,
+            dtype=self.dtype)
+        self.lift = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.pos_emb = self.param(
             "pos_emb", nn.initializers.normal(0.02),
             (self.param_dim, self.hidden_dim))
-        self.time_mlp1 = nn.Dense(self.hidden_dim)
-        self.time_mlp2 = nn.Dense(self.hidden_dim)
-        self.blocks = [CoreBlock(self.num_heads)
+        self.time_mlp1 = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        self.time_mlp2 = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        self.blocks = [CoreBlock(self.num_heads, self.dtype)
                        for _ in range(self.num_blocks)]
-        self.out_norm = nn.LayerNorm()
+        self.out_norm = nn.LayerNorm()  # final norm + head stay f32
         self.head = nn.Dense(1, kernel_init=nn.initializers.zeros)
 
     def encode_condition(self, condition) -> Tuple[jax.Array, jax.Array]:
