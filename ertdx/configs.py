@@ -6,7 +6,7 @@ The reference keeps every hyperparameter as an inline literal
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -187,21 +187,22 @@ class CoreBlock(nn.Module):
 
         dense = lambda feats, **kw: nn.Dense(feats, dtype=self.dtype, **kw)
 
-        # self-attention over the P parameter tokens (tiny: XLA path)
+        # self-attention over the P parameter tokens (tiny: XLA path).
+        # qkv fused into one matmul — the core is small-op-count-bound
         h = AdaLN(self.dtype)(x, cvec)
-        q = heads(dense(d, use_bias=False)(h), p)
-        k = heads(dense(d, use_bias=False)(h), p)
-        v = heads(dense(d, use_bias=False)(h), p)
+        q, k, v = jnp.split(dense(3 * d, use_bias=False)(h), 3, axis=-1)
+        q, k, v = heads(q, p), heads(k, p), heads(v, p)
         a = reference_attention(q, k, v)
         a = a.transpose(0, 2, 1, 3).reshape(b, p, d)
         x = x + dense(d, kernel_init=nn.initializers.zeros)(a)
 
-        # cross-attention to the condition tokens
+        # cross-attention to the condition tokens (fused kv projection)
         h = AdaLN(self.dtype)(x, cvec)
         lc = cond_tokens.shape[1]
         q = heads(dense(d, use_bias=False)(h), p)
-        k = heads(dense(d, use_bias=False)(cond_tokens), lc)
-        v = heads(dense(d, use_bias=False)(cond_tokens), lc)
+        k, v = jnp.split(dense(2 * d, use_bias=False)(cond_tokens), 2,
+                         axis=-1)
+        k, v = heads(k, lc), heads(v, lc)
         a = reference_attention(q, k, v)
         a = a.transpose(0, 2, 1, 3).reshape(b, p, d)
         x = x + dense(d, kernel_init=nn.initializers.zeros)(a)

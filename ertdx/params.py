@@ -12,7 +12,7 @@ framework can treat the space as pure data (usable inside jit).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

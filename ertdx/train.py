@@ -34,7 +34,7 @@ from . import data as data_lib
 from .configs import ExperimentConfig
 from .diffusion import DiffusionSchedule, get_diffusion_schedule, q_sample
 from .models import build_model
-from .parallel.mesh import batch_sharding, make_mesh, replicated
+from .parallel.mesh import batch_sharding, replicated
 from .utils import checkpoint as ckpt_lib
 from .utils.logging import MetricsLogger
 
