@@ -80,9 +80,19 @@ def mode_kde_calculation(array: np.ndarray, grid_points: int = 1000) -> float:
 def _kde_mode_kernel(points: jax.Array, grid: jax.Array,
                      h: jax.Array) -> jax.Array:
     """points: (P, N) pixel ensembles; grid: (G,); h: (P,) bandwidths.
-    Returns (P,) argmax density gridpoint per pixel."""
-    z = (grid[None, :, None] - points[:, None, :]) / h[:, None, None]
-    dens = jnp.exp(-0.5 * z * z).sum(axis=-1)  # (P, G)
+    Returns (P,) argmax density gridpoint per pixel.
+
+    Accumulates density over realizations with a scan so peak memory is
+    (P, G) — materializing (P, G, N) would need ~4 GB at reference scale
+    (65k pixels x 5k gridpoints x 50 realizations)."""
+    inv_h = 1.0 / h[:, None]
+
+    def body(dens, col):  # col: (P,) one realization across pixels
+        z = (grid[None, :] - col[:, None]) * inv_h
+        return dens + jnp.exp(-0.5 * z * z), None
+
+    dens0 = jnp.zeros((points.shape[0], grid.shape[0]), jnp.float32)
+    dens, _ = jax.lax.scan(body, dens0, points.T)
     return grid[jnp.argmax(dens, axis=-1)]
 
 
