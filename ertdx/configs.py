@@ -45,7 +45,6 @@ class TrainConfig:
                                      # mode: the reference re-randomizes,
                                      # ERT_Conditional_Diffusion.py:331-333)
     checkpoint_dir: str = "checkpoints"
-    keep_best_only: bool = False
     # save a resumable 'last' checkpoint every N epochs (0 = off);
     # TPU-preemption resume (SURVEY.md §5.3 — absent in the reference)
     step_checkpoint_every: int = 0
@@ -56,7 +55,6 @@ class TrainConfig:
     # exponential moving average of params for sampling (0 = off)
     ema_decay: float = 0.0
     log_every: int = 1
-    dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -95,3 +95,50 @@ def test_plot_command(tmp_path, rng):
     assert rc == 0
     assert (tmp_path / "figs" / "ensemble_grid.png").exists()
     assert (tmp_path / "figs" / "wsse.png").exists()
+
+
+def test_simulate_gather_pipeline(tmp_path):
+    """CLI simulate (fake pflotran) -> gather-data, end to end via argv."""
+    import stat
+    import textwrap
+    tpl = tmp_path / "tpl.in"
+    tpl.write_text("".join(f"line {i}\n" for i in range(170)))
+    stub = tmp_path / "fake_pflotran.py"
+    stub.write_text(textwrap.dedent("""\
+        #!/usr/bin/env python
+        import sys
+        inp = sys.argv[sys.argv.index('-pflotranin') + 1]
+        stem = inp[:-3]
+        idx = int(stem.rsplit('_', 1)[-1])
+        for s, days in enumerate([10, 20, 30]):
+            with open(f'{stem}-E1-{days}d.srv', 'w') as f:
+                f.write('h\\nh\\n')
+                for r in range(4):
+                    f.write(' '.join(['0'] * 5
+                                     + [str(idx * 1000 + s * 100 + r), '0'])
+                            + '\\n')
+        """))
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+
+    from ertdx.doe import SurrogateDataGenerator
+    design = SurrogateDataGenerator(seed=0).generate_training_samples(
+        4, "lhs")[..., None]
+    np.save(tmp_path / "design.npy", design)
+
+    rc = main(["simulate", "--template", str(tpl),
+               "--params", str(tmp_path / "design.npy"),
+               "--pflotran", str(stub), "--no-mpi",
+               "--results-dir", str(tmp_path / "results"),
+               "--workdir", str(tmp_path / "runs"),
+               "--surveys", "3", "--measurements", "4",
+               "--srv-skip-header", "2", "--max-retries", "2"])
+    assert rc == 0
+    rc = main(["gather-data", "--results-dir", str(tmp_path / "results"),
+               "--n", "4", "--surveys", "3",
+               "--out-ert", str(tmp_path / "ert.npy"),
+               "--out-params", str(tmp_path / "p.npy")])
+    assert rc == 0
+    ert = np.load(tmp_path / "ert.npy")
+    assert ert.shape == (4, 4, 3)
+    # survey 2, row 0 of sim 3 encodes its provenance
+    assert ert[3, 0, 2] == 3200.0
