@@ -29,7 +29,9 @@ class ModelConfig:
     num_heads: int = 4
     num_blocks: int = 4
     use_pallas: bool = True        # pallas flash attention on TPU
-    pallas_gn: bool = False        # pallas fused GN (XLA wins at small C)
+    pallas_gn: bool = False        # pallas fused GN (parity with XLA at
+                                   # current widths now that the backward
+                                   # is fused; flip at larger C)
     dtype: str = "float32"         # condunet compute dtype ("bfloat16"
                                    # for MXU-native training; params f32)
 

@@ -139,3 +139,25 @@ def test_flash_backward_multi_block():
     for ours, ref in ((dq, rq), (dk, rk), (dv, rv)):
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_gn_silu_fused_backward_matches_reference():
+    """Fused Pallas GN+SiLU backward (interpreter) == autodiff of the XLA
+    reference for dx, dgamma, dbeta."""
+    from ertdx.ops.groupnorm import groupnorm_silu_backward_interpret
+    x = jax.random.normal(jax.random.key(11), (3, 48, 32))
+    gamma = jnp.linspace(0.5, 1.5, 32)
+    beta = jnp.linspace(-0.2, 0.2, 32)
+    g = jax.random.normal(jax.random.key(12), x.shape)
+    dx, dgamma, dbeta = groupnorm_silu_backward_interpret(
+        x, gamma, beta, g, num_groups=8)
+    _, vjp = jax.vjp(
+        lambda x_, ga_, be_: reference_groupnorm_silu(x_, ga_, be_, 8),
+        x, gamma, beta)
+    rx, rgamma, rbeta = vjp(g)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rx),
+                               rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dgamma), np.asarray(rgamma),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(dbeta), np.asarray(rbeta),
+                               rtol=3e-4, atol=3e-4)
