@@ -278,7 +278,6 @@ class ForwardModelRunner:
                    self.cfg.pflotran_path, "-pflotranin", input_file.name]
         else:
             cmd = [self.cfg.pflotran_path, "-pflotranin", input_file.name]
-        t0 = time.time()
         try:
             proc = subprocess.run(cmd, cwd=d, capture_output=True,
                                   timeout=self.cfg.timeout_s)
@@ -296,7 +295,6 @@ class ForwardModelRunner:
             raise RuntimeError(
                 f"sim {index}: got {data.shape[0]} values, expected "
                 f"{self.expected_len}")
-        _ = time.time() - t0
         return data
 
     # -- batched with retry -----------------------------------------------------
