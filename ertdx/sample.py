@@ -34,8 +34,10 @@ def _tile_ctx(ctx, n: int):
 
 
 # jitted ensemble cores, cached per (model, sampler-config, shapes) — a
-# fresh jax.jit per call would recompile every time
+# fresh jax.jit per call would recompile every time. Bounded FIFO so many
+# distinct shapes/configs can't grow the cache without limit.
 _ENSEMBLE_CACHE: dict = {}
+_ENSEMBLE_CACHE_MAX = 32
 
 
 def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
@@ -86,6 +88,8 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
                     schedule=schedule)
         return u.reshape(n_realizations, B, P)
 
+    if len(_ENSEMBLE_CACHE) >= _ENSEMBLE_CACHE_MAX:
+        _ENSEMBLE_CACHE.pop(next(iter(_ENSEMBLE_CACHE)))
     _ENSEMBLE_CACHE[key_] = run
     return run
 
