@@ -472,31 +472,20 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                 best_epoch = epoch + int(va.argmin())
                 if checkpoint_dir:
                     # snapshot granularity = chunk boundary (documented)
-                    ckpt_lib.save_checkpoint(
-                        f"{checkpoint_dir}/best",
-                        _state_dict(state),
-                        {"epoch": best_epoch + 1,
-                         "best_val_loss": best_val,
-                         "snapshot_epoch": epoch + k_now,
-                         "train_history": train_hist,
-                         "val_history": val_hist,
-                         "param_dim": dataset.param_dim,
-                         "model": cfg.model.name},
-                        scalers={"param_scaler": dataset.param_scaler,
-                                 "ert_scaler": dataset.ert_scaler})
+                    _save(checkpoint_dir, "best", state, dataset, cfg,
+                          {"epoch": best_epoch + 1,
+                           "best_val_loss": best_val,
+                           "snapshot_epoch": epoch + k_now,
+                           "train_history": train_hist,
+                           "val_history": val_hist})
             epoch += k_now
             if (checkpoint_dir and tcfg.step_checkpoint_every
                     and epoch % max(tcfg.step_checkpoint_every, 1) < k_now):
-                ckpt_lib.save_checkpoint(
-                    f"{checkpoint_dir}/last",
-                    _state_dict(state),
-                    {"epoch": epoch, "best_val_loss": best_val,
-                     "best_epoch": best_epoch,
-                     "train_history": train_hist, "val_history": val_hist,
-                     "param_dim": dataset.param_dim,
-                     "model": cfg.model.name},
-                    scalers={"param_scaler": dataset.param_scaler,
-                             "ert_scaler": dataset.ert_scaler})
+                _save(checkpoint_dir, "last", state, dataset, cfg,
+                      {"epoch": epoch, "best_val_loss": best_val,
+                       "best_epoch": best_epoch,
+                       "train_history": train_hist,
+                       "val_history": val_hist})
             if epoch % tcfg.log_every == 0 or epoch >= tcfg.num_epochs:
                 logger.log({"epoch": epoch, "train_loss": float(tr[-1]),
                             "val_loss": float(va[-1]),
@@ -565,26 +554,16 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
             best_val = val_loss
             best_epoch = epoch
             if checkpoint_dir:
-                ckpt_lib.save_checkpoint(
-                    f"{checkpoint_dir}/best",
-                    _state_dict(state),
-                    {"epoch": epoch + 1, "best_val_loss": best_val,
-                     "train_history": train_hist, "val_history": val_hist,
-                     "param_dim": dataset.param_dim,
-                     "model": cfg.model.name},
-                    scalers={"param_scaler": dataset.param_scaler,
-                             "ert_scaler": dataset.ert_scaler})
+                _save(checkpoint_dir, "best", state, dataset, cfg,
+                      {"epoch": epoch + 1, "best_val_loss": best_val,
+                       "train_history": train_hist,
+                       "val_history": val_hist})
         if (checkpoint_dir and tcfg.step_checkpoint_every
                 and (epoch + 1) % tcfg.step_checkpoint_every == 0):
-            ckpt_lib.save_checkpoint(
-                f"{checkpoint_dir}/last",
-                _state_dict(state),
-                {"epoch": epoch + 1, "best_val_loss": best_val,
-                 "best_epoch": best_epoch, "train_history": train_hist,
-                 "val_history": val_hist,
-                 "param_dim": dataset.param_dim, "model": cfg.model.name},
-                scalers={"param_scaler": dataset.param_scaler,
-                         "ert_scaler": dataset.ert_scaler})
+            _save(checkpoint_dir, "last", state, dataset, cfg,
+                  {"epoch": epoch + 1, "best_val_loss": best_val,
+                   "best_epoch": best_epoch, "train_history": train_hist,
+                   "val_history": val_hist})
         if (epoch + 1) % tcfg.log_every == 0:
             logger.log({"epoch": epoch + 1, "train_loss": epoch_loss,
                         "val_loss": val_loss, "best_val": best_val,
@@ -621,6 +600,16 @@ def load_best_model(checkpoint_dir: str, cfg: ExperimentConfig,
         step=restored["step"],
         ema_params=restored.get("ema_params", state.ema_params))
     return state, meta, scalers
+
+
+def _save(checkpoint_dir, name, state, dataset, cfg, meta_extra):
+    """One checkpoint-save call site: state + meta + scaler state."""
+    meta = {"param_dim": dataset.param_dim, "model": cfg.model.name}
+    meta.update(meta_extra)
+    ckpt_lib.save_checkpoint(
+        f"{checkpoint_dir}/{name}", _state_dict(state), meta,
+        scalers={"param_scaler": dataset.param_scaler,
+                 "ert_scaler": dataset.ert_scaler})
 
 
 def _state_dict(state: TrainState) -> dict:
