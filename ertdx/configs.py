@@ -29,9 +29,10 @@ class ModelConfig:
     num_heads: int = 4
     num_blocks: int = 4
     use_pallas: bool = True        # pallas flash attention on TPU
-    pallas_gn: bool = False        # pallas fused GN (parity with XLA at
-                                   # current widths now that the backward
-                                   # is fused; flip at larger C)
+    pallas_gn: bool = False        # pallas fused GN+SiLU: measured parity
+                                   # with XLA's fused GN (C=128..512, fwd+
+                                   # bwd); off by default, kept as the
+                                   # explicit-kernel path
     dtype: str = "float32"         # condunet compute dtype ("bfloat16"
                                    # for MXU-native training; params f32)
 

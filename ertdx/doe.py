@@ -66,12 +66,11 @@ class ParameterSampler:
         psdevs = np.asarray(psdevs, dtype=np.float64)
 
         islog = self.space.log_mask
-        log_sd = np.where(islog,
-                          np.abs(np.where(islog, np.log10(np.where(
-                              islog, pmeans, 1.0)), 0.0) * psdevs
-                              / pmeans),
-                          0.0)
-        log_mu = np.where(islog, np.log10(np.where(islog, pmeans, 1.0)), 0.0)
+        safe_means = np.where(islog, pmeans, 1.0)  # avoid log10 of lin params
+        log_mu = np.log10(safe_means)
+        # reference rule: sd = |log10(mean) * psdev / mean|
+        # (Generate_ERT_utils.py:183)
+        log_sd = np.where(islog, np.abs(log_mu * psdevs / pmeans), 0.0)
 
         mod_in = np.zeros((nmods, d))
         mod_in[0] = pmeans

@@ -224,8 +224,8 @@ class CondUNet(nn.Module):
     num_heads: int = 4
     num_blocks: int = 4
     use_pallas: bool = True      # pallas flash attention (wins vs XLA here)
-    pallas_gn: bool = False      # XLA's fused GN beats the pallas GN at
-                                 # these widths (measured); flip at larger C
+    pallas_gn: bool = False      # pallas GN measured at parity with XLA's
+                                 # fused GN across widths; XLA default
     dtype: Any = jnp.float32     # compute dtype (params stay f32);
                                  # jnp.bfloat16 for MXU-native training
 
