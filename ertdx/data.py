@@ -54,7 +54,19 @@ class SrvFormat:
 
 
 def _srv_time(fname: str, fmt: SrvFormat) -> float:
-    return float(fname.split("-")[fmt.time_token_index].split("d")[0])
+    parts = fname.split("-")
+    if len(parts) <= fmt.time_token_index:
+        raise ValueError(
+            f".srv filename {fname!r} has no '-'-separated time token at "
+            f"index {fmt.time_token_index}; expected names like "
+            f"'<prefix>-E1-<days>d.srv' (adjust SrvFormat.time_token_index)")
+    token = parts[fmt.time_token_index].split("d")[0]
+    try:
+        return float(token)
+    except ValueError as e:
+        raise ValueError(
+            f".srv filename {fname!r}: token {token!r} is not a survey "
+            f"time in days") from e
 
 
 def read_srv_file(path: str, fmt: SrvFormat = SrvFormat()) -> np.ndarray:

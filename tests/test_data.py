@@ -125,3 +125,11 @@ def test_batch_iterator_epoch_shuffle(tiny_dataset):
         ds.params_u, ds.conditions, 16, shuffle=True, seed=1, epoch=1)]
     np.testing.assert_array_equal(b1[0], b2[0])    # same epoch -> same order
     assert not np.allclose(b1[0], b3[0])           # next epoch reshuffles
+
+
+def test_srv_bad_filename_clear_error(tmp_path):
+    import pytest
+    (tmp_path / "noformat.srv").write_text("h\n1 2 3 4 5 6\n")
+    with pytest.raises(ValueError, match="time token"):
+        data_lib.gather_srv_data("noformat", str(tmp_path),
+                                 SrvFormat(skip_header=1, usecols=5))
