@@ -31,6 +31,8 @@ def _load_cfg(args) -> "configs.ExperimentConfig":
         overrides["checkpoint_dir"] = args.checkpoint_dir
     if getattr(args, "save_every", None) is not None:
         overrides["step_checkpoint_every"] = args.save_every
+    if getattr(args, "ema_decay", None) is not None:
+        overrides["ema_decay"] = args.ema_decay
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))
@@ -140,9 +142,22 @@ def cmd_sample(args) -> int:
     from .train import load_best_model
     from .parallel.mesh import make_mesh
     cfg = _load_cfg(args)
+    if args.ema:
+        # the restore template must carry an EMA slot to deserialize it
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, ema_decay=0.999))
     sim_param = np.load(args.params)
     ert = np.load(args.ert)
-    state, meta, scalers = load_best_model(args.checkpoint_dir, cfg, None)
+    try:
+        state, meta, scalers = load_best_model(args.checkpoint_dir, cfg,
+                                               None)
+    except ValueError as e:
+        if args.ema:
+            raise SystemExit(
+                "--ema: this checkpoint has no EMA parameters; train with "
+                "--ema-decay > 0 first") from e
+        raise
+    sample_params = state.ema_params if args.ema else state.params
     ds = data_lib.prepare_dataset(sim_param, ert,
                                   param_scaler=scalers.get("param_scaler"),
                                   ert_scaler=scalers.get("ert_scaler"))
@@ -153,7 +168,7 @@ def cmd_sample(args) -> int:
                                  cfg.diffusion.beta_end)
     mesh = make_mesh(data=args.mesh_data) if args.mesh_data else None
     pred, mask = posterior_over_dataset(
-        model, state.params, ds.conditions[test_idx], sch,
+        model, sample_params, ds.conditions[test_idx], sch,
         jax.random.key(args.seed or cfg.train.seed), ds.param_scaler,
         n_realizations=args.realizations, batch_size=cfg.train.batch_size,
         scfg=cfg.sample, mesh=mesh)
@@ -276,6 +291,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="continue from <checkpoint-dir>/last")
     t.add_argument("--save-every", type=int, default=None,
                    help="write a resumable checkpoint every N epochs")
+    t.add_argument("--ema-decay", type=float, default=None,
+                   help="EMA of params for sampling (e.g. 0.999; 0 = off)")
     t.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace to LOGDIR")
     t.set_defaults(fn=cmd_train)
@@ -289,6 +306,8 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--realizations", type=int, default=50)
     sa.add_argument("--seed", type=int, default=None)
     sa.add_argument("--mesh-data", type=int, default=0)
+    sa.add_argument("--ema", action="store_true",
+                    help="sample with the EMA parameters from the checkpoint")
     sa.add_argument("--out", default="Uncertainty_params.npy")
     sa.set_defaults(fn=cmd_sample)
 
