@@ -1,0 +1,109 @@
+"""Kernel microbenchmarks: Pallas vs XLA, forward and backward.
+
+Run on a TPU host: `python benchmarks/kernel_bench.py`. Timing protocol
+for this machine's tunnel (see docs/DESIGN.md §5b): work amortized inside
+a lax.scan per dispatch, host-read sync per dispatch, median of repeats.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def scan_time(make_body, n_iter=32, repeats=3):
+    """Median seconds per body execution, scan-amortized + host-synced."""
+    body = make_body()
+
+    @jax.jit
+    def run(key):
+        def step(c, k):
+            return c, body(k)
+        keys = jax.random.split(key, n_iter)
+        _, outs = jax.lax.scan(step, None, keys)
+        return outs
+
+    o = run(jax.random.key(0))
+    _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        o = run(jax.random.key(1 + i))
+        _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+        times.append((time.perf_counter() - t0) / n_iter)
+    return sorted(times)[len(times) // 2]
+
+
+def bench_attention(b=8, h=4, l=512, d=64):
+    from ertdx.ops.attention import flash_attention, reference_attention
+    q0 = jax.random.normal(jax.random.key(10), (b, h, l, d))
+    k0 = jax.random.normal(jax.random.key(11), (b, h, l, d))
+    v0 = jax.random.normal(jax.random.key(12), (b, h, l, d))
+
+    out = {}
+    for name, fn in (("pallas", lambda q, k, v: flash_attention(
+                          q, k, v, None, True)),
+                     ("xla", reference_attention)):
+        def make_fwd(fn=fn):
+            def body(key):
+                q = q0 + 1e-9 * jax.random.normal(key, q0.shape)
+                return jnp.mean(fn(q, k0, v0))
+            return body
+
+        def make_bwd(fn=fn):
+            def body(key):
+                q = q0 + 1e-9 * jax.random.normal(key, q0.shape)
+                g = jax.grad(lambda q_: jnp.mean(fn(q_, k0, v0) ** 2))(q)
+                return jnp.mean(g)
+            return body
+
+        out[f"attn_fwd_{name}_ms"] = scan_time(make_fwd) * 1e3
+        out[f"attn_fwdbwd_{name}_ms"] = scan_time(make_bwd) * 1e3
+    return out
+
+
+def bench_groupnorm(b=16, l=1174, c=256, groups=8):
+    from ertdx.ops.groupnorm import groupnorm_silu, reference_groupnorm_silu
+    x0 = jax.random.normal(jax.random.key(20), (b, l, c))
+    gamma = jnp.ones(c)
+    beta = jnp.zeros(c)
+
+    out = {}
+    for name, fn in (("pallas", lambda x: groupnorm_silu(
+                          x, gamma, beta, groups, 1e-5, True)),
+                     ("xla", lambda x: reference_groupnorm_silu(
+                          x, gamma, beta, groups))):
+        def make_fwd(fn=fn):
+            def body(key):
+                x = x0 + 1e-9 * jax.random.normal(key, x0.shape)
+                return jnp.mean(fn(x))
+            return body
+
+        def make_bwd(fn=fn):
+            def body(key):
+                x = x0 + 1e-9 * jax.random.normal(key, x0.shape)
+                g = jax.grad(lambda x_: jnp.mean(fn(x_) ** 2))(x)
+                return jnp.mean(g)
+            return body
+
+        out[f"gn_fwd_{name}_ms"] = scan_time(make_fwd) * 1e3
+        out[f"gn_fwdbwd_{name}_ms"] = scan_time(make_bwd) * 1e3
+    return out
+
+
+def main():
+    record = {"backend": jax.default_backend()}
+    record.update(bench_attention())
+    record.update(bench_groupnorm())
+    print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
+                      for k, v in record.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

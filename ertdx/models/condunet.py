@@ -76,10 +76,16 @@ class ResBlock1D(nn.Module):
 
 
 class SelfAttention1D(nn.Module):
-    """Pre-norm MHA over a padded/masked sequence; Pallas flash on TPU."""
+    """Pre-norm MHA over a padded/masked sequence; Pallas flash on TPU.
+
+    Dispatch policy (benchmarks/kernel_bench.py): XLA attention wins below
+    ~1k tokens (its O(L^2) logits still fit comfortably and fuse well);
+    the flash kernel engages where materialized logits start to hurt.
+    """
 
     num_heads: int
     use_pallas: bool = True
+    pallas_min_len: int = 1024
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -102,7 +108,8 @@ class SelfAttention1D(nn.Module):
             v = jnp.pad(v, pad)
             base = mask if mask is not None else jnp.ones((b, l))
             mask = jnp.pad(base, ((0, 0), (0, lp - l)))
-        out = flash_attention(q, k, v, mask, self.use_pallas)
+        pallas_ok = self.use_pallas and lp >= self.pallas_min_len
+        out = flash_attention(q, k, v, mask, pallas_ok)
         out = out[:, :, :l, :].transpose(0, 2, 1, 3).reshape(b, l, c)
         return x + nn.Dense(c, dtype=self.dtype)(out)
 
