@@ -51,6 +51,30 @@ def shard_batch(mesh: Mesh, *arrays):
     return out[0] if len(out) == 1 else out
 
 
+def tp_shard_params(params, mesh: Mesh, min_dim: int = 256):
+    """Tensor-parallel parameter placement over the mesh 'model' axis.
+
+    Dense/conv kernels whose LAST dim is >= min_dim and divisible by the
+    model-axis size shard that dim over 'model' (column parallel); XLA
+    GSPMD inserts the matching all-gathers/reduces in the step function.
+    Everything else replicates. With model=1 this is exactly `replicated`.
+
+    The flagship denoiser is small, so TP is a scaling reserve, not a win
+    at reference scale (docs/DESIGN.md §3) — but the path is real and
+    exercised by __graft_entry__.dryrun_multichip.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+
+    def place(leaf):
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 2
+                and leaf.shape[-1] >= min_dim and leaf.shape[-1] % tp == 0):
+            spec = P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, params)
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
     """Zero-pad `axis` to a multiple (so batches divide the mesh)."""
     n = x.shape[axis]

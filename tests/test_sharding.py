@@ -120,3 +120,41 @@ def test_full_train_loop_on_mesh(tiny_dataset):
     res_single = train(cfg, tiny_dataset, device_resident=False)
     np.testing.assert_allclose(res.train_history, res_single.train_history,
                                rtol=1e-5)
+
+
+def test_tp_sharded_train_step_equals_single_device(tiny_dataset):
+    """DP+TP (data=4, model=2): column-sharded wide kernels + sharded batch
+    must reproduce single-device numerics (GSPMD inserts the collectives)."""
+    from ertdx.parallel.mesh import tp_shard_params
+    ds = tiny_dataset
+    cfg_model = dataclasses.replace(configs.ModelConfig(), name="condunet",
+                                    cond_length=96, cond_channels=4,
+                                    base_width=16, depth=2, num_blocks=2,
+                                    num_heads=2, hidden_dim=32)
+    model = build_model(cfg_model)
+    sch = get_diffusion_schedule(10)
+    state_a = create_train_state(model, jax.random.key(0), 1e-3, 16,
+                                 ds.cond_shape, ds.param_dim)
+    state_b = create_train_state(model, jax.random.key(0), 1e-3, 16,
+                                 ds.cond_shape, ds.param_dim)
+    step = make_train_step(model.apply, sch, donate=False)
+    x0 = jnp.asarray(ds.params_u[:16])
+    cond = jnp.asarray(ds.conditions[:16])
+    w = jnp.ones(16)
+    key = jax.random.key(7)
+
+    state_a, loss_a = step(state_a, x0, cond, w, key)
+
+    mesh = make_mesh(data=4, model=2)
+    sharded = tp_shard_params(state_b.params, mesh, min_dim=64)
+    state_b = state_b.replace(params=sharded,
+                              opt_state=state_b.tx.init(sharded))
+    sh = batch_sharding(mesh)
+    state_b, loss_b = step(state_b, jax.device_put(x0, sh),
+                           jax.device_put(cond, sh),
+                           jax.device_put(w, sh), key)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
