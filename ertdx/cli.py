@@ -196,6 +196,20 @@ def cmd_metrics(args) -> int:
     rows = per_parameter_uq(pred, true)
     write_csv(args.out, rows)
     print(f"wrote {args.out}")
+    if args.plots_dir:
+        # joint + 29 per-parameter coverage figures (the reference's loop,
+        # ERT_Conditional_Diffusion.py:1139-1262)
+        from .params import ParameterSpace
+        from .plots import plot_coverage
+        out = Path(args.plots_dir)
+        plot_coverage(pred.reshape(pred.shape[0], -1), true.reshape(-1),
+                      path=str(out / "coverage_joint.png"))
+        names = ParameterSpace().names
+        for j in range(pred.shape[-1]):
+            plot_coverage(pred[..., j], true[..., j],
+                          title=names[j] if j < len(names) else f"p{j}",
+                          path=str(out / f"coverage_param_{j:02d}.png"))
+        print(f"coverage figures under {out}")
     return 0
 
 
@@ -315,6 +329,9 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--pred", required=True)
     m.add_argument("--true", required=True)
     m.add_argument("--out", default="Parameter_uncertainty_metrics.csv")
+    m.add_argument("--plots-dir", default=None,
+                   help="also write the joint + per-parameter coverage "
+                        "figures here")
     m.set_defaults(fn=cmd_metrics)
 
     pl = sub.add_parser("plot", help="ensemble figures")
