@@ -117,7 +117,8 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
 
 
 def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
-                    donate: bool = True, ema_decay: float = 0.0):
+                    donate: bool = True, ema_decay: float = 0.0,
+                    batch_shard=None):
     """Whole-epoch train step: one dispatch, lax.scan over batches.
 
     The per-step model is tiny (SURVEY.md §6), so per-dispatch latency
@@ -143,6 +144,11 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
             nb, bsz, *x0_all.shape[1:])
         cond_b = jnp.take(cond_all, flat, axis=0).reshape(
             nb, bsz, *cond_all.shape[1:])
+        if batch_shard is not None:
+            # DP: shard the per-batch axis of the scanned slabs so each
+            # chip trains on its slice (GSPMD all-reduces the grads)
+            x0_b = jax.lax.with_sharding_constraint(x0_b, batch_shard)
+            cond_b = jax.lax.with_sharding_constraint(cond_b, batch_shard)
 
         def body(carry, inp):
             state, = carry
@@ -380,19 +386,30 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
 
     if device_resident is None:
         nbytes = (dataset.params_u.nbytes + dataset.conditions.nbytes)
-        device_resident = mesh is None and nbytes < 8 * 2 ** 30
+        device_resident = nbytes < 8 * 2 ** 30
 
     x0_tr, cond_tr = dataset.params_u[train_idx], dataset.conditions[train_idx]
     x0_va, cond_va = dataset.params_u[val_idx], dataset.conditions[val_idx]
 
     if device_resident:
+        batch_shard = None
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            if tcfg.batch_size % n_data == 0:
+                from jax.sharding import NamedSharding, PartitionSpec
+                batch_shard = NamedSharding(
+                    mesh, PartitionSpec(None, "data"))
         epoch_step = make_epoch_step(model.apply, schedule,
-                                     ema_decay=tcfg.ema_decay)
+                                     ema_decay=tcfg.ema_decay,
+                                     batch_shard=batch_shard)
         eval_epoch = make_eval_epoch(model.apply, schedule)
-        x0_tr_d = jax.device_put(jnp.asarray(x0_tr))
-        cond_tr_d = jax.device_put(jnp.asarray(cond_tr))
-        x0_va_d = jax.device_put(jnp.asarray(x0_va))
-        cond_va_d = jax.device_put(jnp.asarray(cond_va))
+        put = (lambda a: jax.device_put(jnp.asarray(a), replicated(mesh))
+               ) if mesh is not None else (
+               lambda a: jax.device_put(jnp.asarray(a)))
+        x0_tr_d = put(x0_tr)
+        cond_tr_d = put(cond_tr)
+        x0_va_d = put(x0_va)
+        cond_va_d = put(cond_va)
         # fixed val batching with tail weights
         v_order = np.arange(len(x0_va))
         v_idx = _epoch_batches(len(x0_va), tcfg.batch_size, v_order)

@@ -112,14 +112,19 @@ def test_full_train_loop_on_mesh(tiny_dataset):
                                   log_every=100),
     )
     mesh = make_mesh(data=8)
+    # default path: device-resident epoch scan with DP-sharded batches
     res = train(cfg, tiny_dataset, mesh=mesh)
     assert np.isfinite(res.train_history).all()
-    # sharded loop reproduces the single-device per-batch loop (same keys;
-    # device_resident uses a different epoch-scan key derivation, so pin
-    # the per-batch path for the comparison)
-    res_single = train(cfg, tiny_dataset, device_resident=False)
+    res_single = train(cfg, tiny_dataset)
     np.testing.assert_allclose(res.train_history, res_single.train_history,
                                rtol=1e-5)
+    np.testing.assert_allclose(res.val_history, res_single.val_history,
+                               rtol=1e-5)
+    # per-batch mesh path (device_resident=False) vs per-batch single
+    res_pb_mesh = train(cfg, tiny_dataset, mesh=mesh, device_resident=False)
+    res_pb = train(cfg, tiny_dataset, device_resident=False)
+    np.testing.assert_allclose(res_pb_mesh.train_history,
+                               res_pb.train_history, rtol=1e-5)
 
 
 def test_tp_sharded_train_step_equals_single_device(tiny_dataset):
