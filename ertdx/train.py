@@ -85,9 +85,9 @@ def weighted_eps_mse(eps_hat: jax.Array, eps: jax.Array,
 
 def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
                     donate: bool = True, ema_decay: float = 0.0):
-    # schedule arrays are passed as jit ARGUMENTS, not closure constants:
-    # embedded constants inside scanned/jitted bodies execute pathologically
-    # slowly on this backend (~20x; see docs/DESIGN.md)
+    # schedule arrays are passed as jit ARGUMENTS, not closure constants —
+    # never close over device data in jitted bodies (docs/DESIGN.md §5b),
+    # and argument-passing keeps one program across schedule values
     T = schedule.num_steps
 
     def _step(state: TrainState, x0: jax.Array, cond: jax.Array,
