@@ -122,3 +122,22 @@ def test_temperature_scales_stochasticity():
     assert np.isfinite(cold).all() and np.isfinite(warm).all()
     # zero temperature removes the per-step noise -> tighter ensemble
     assert cold.std() < 0.8 * warm.std()
+
+
+def test_ddim_eta1_matches_ancestral_statistically():
+    """DDIM over the FULL schedule with eta=1 is the DDPM ancestral sampler
+    (up to RNG stream): with the analytic denoiser both must reproduce the
+    same target distribution."""
+    mu = 0.9
+    sch = get_diffusion_schedule(200)
+    denoise = _perfect_denoiser(mu)(sch)
+    anc = np.asarray(sample_ancestral(denoise, jax.random.key(1),
+                                      (4000, 2), sch))
+    ddim = np.asarray(sample_ddim(denoise, jax.random.key(2), (4000, 2),
+                                  sch, num_steps=200, eta=1.0))
+    # the two samplers agree closely; both carry the same O(1/T)
+    # discretization bias toward mu at T=200, so the absolute check is
+    # looser than the pairwise one
+    assert abs(anc.mean() - ddim.mean()) < 0.08
+    assert abs(anc.std() - ddim.std()) < 0.08
+    assert abs(ddim.mean() - mu) < 0.2
