@@ -57,8 +57,8 @@ def test_full_physics_closure(tmp_path):
     # --- train a tiny conditional model on physical Sobol data -------------
     from ertdx.doe import SurrogateDataGenerator
     params_phys = SurrogateDataGenerator(seed=5).generate_training_samples(
-        48, "sobol")
-    ert = np.random.default_rng(5).normal(50, 10, (48, MEAS, N_SURVEYS))
+        64, "sobol")
+    ert = np.random.default_rng(5).normal(50, 10, (64, MEAS, N_SURVEYS))
     ds = data_lib.prepare_dataset(params_phys[..., None], ert)
     cfg = configs.ExperimentConfig(
         diffusion=configs.DiffusionConfig(T=10),
