@@ -163,3 +163,26 @@ def test_tp_sharded_train_step_equals_single_device(tiny_dataset):
                     jax.tree_util.tree_leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_dryrun_multichip_driver_contract():
+    """The driver calls __graft_entry__.dryrun_multichip(n) on a host with
+    ONE real chip and a sitecustomize that pins a non-CPU platform. The
+    entry point must still build an n-device virtual CPU mesh and run a
+    sharded step (MULTICHIP_r01 regression)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # simulate the driver host: no CPU forcing, stale device-count flag
+    env.pop("_ERTDX_DRYRUN_CHILD", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(4)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=560)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip(4)" in out.stdout and "OK" in out.stdout
