@@ -44,9 +44,14 @@ class TrainConfig:
     num_epochs: int = 500
     seed: int = 42
     split: Tuple[float, float] = (0.8, 0.1)
-    deterministic_val: bool = True   # fixed t/eps per val example (parity
-                                     # mode: the reference re-randomizes,
-                                     # ERT_Conditional_Diffusion.py:331-333)
+    deterministic_val: bool = False  # reference semantics: t/eps are
+                                     # re-randomized per val epoch
+                                     # (ERT_Conditional_Diffusion.py:331-333).
+                                     # True = opt-in improvement: fixed
+                                     # t/eps per val example makes epochs
+                                     # comparable (lower-variance best-val
+                                     # selection) but changes selection
+                                     # dynamics vs the reference.
     checkpoint_dir: str = "checkpoints"
     # save a resumable 'last' checkpoint every N epochs (0 = off);
     # TPU-preemption resume (SURVEY.md §5.3 — absent in the reference)

@@ -34,18 +34,35 @@ def _tile_ctx(ctx, n: int):
 
 
 # jitted ensemble cores, cached per (model, sampler-config, shapes) — a
-# fresh jax.jit per call would recompile every time. Bounded FIFO so many
-# distinct shapes/configs can't grow the cache without limit.
+# fresh jax.jit per call would recompile every time. Keys hold the model
+# and mesh OBJECTS (flax Modules and jax Meshes hash structurally), never
+# id(): ids are reused after GC, which could silently serve a stale
+# compiled ensemble to a different model; the strong key ref also means
+# structurally equal rebuilt models share one compilation. Bounded FIFO so
+# many distinct shapes/configs can't grow the cache without limit.
 _ENSEMBLE_CACHE: dict = {}
 _ENSEMBLE_CACHE_MAX = 32
+
+
+def _cache_token(obj):
+    """A hashable stand-in: the object itself when hashable (structural
+    equality), else its type + repr (still not id-based)."""
+    if obj is None:
+        return None
+    try:
+        hash(obj)
+        return obj
+    except TypeError:
+        return (type(obj).__qualname__, repr(obj))
 
 
 def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
                  truncate_steps, T: int, cond_shape, batch: int,
                  mesh=None):
-    key_ = (id(model), n_realizations, P, scfg.sampler, scfg.ddim_steps,
-            scfg.ddim_eta, scfg.temperature, truncate_steps, T,
-            tuple(cond_shape), batch, id(mesh) if mesh is not None else None)
+    key_ = (_cache_token(model), n_realizations, P, scfg.sampler,
+            scfg.ddim_steps, scfg.ddim_eta, scfg.temperature,
+            truncate_steps, T, tuple(cond_shape), batch,
+            _cache_token(mesh))
     fn = _ENSEMBLE_CACHE.get(key_)
     if fn is not None:
         return fn

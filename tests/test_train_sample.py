@@ -68,6 +68,18 @@ def test_stochastic_val_compat_mode(tiny_dataset):
     assert res.val_history[0] != res.val_history[1]
 
 
+def test_ref_default_preset_has_reference_val_semantics(tiny_dataset):
+    """The ref_default preset must reproduce reference validation
+    semantics: t/eps re-randomized every epoch
+    (ERT_Conditional_Diffusion.py:331-333). deterministic_val is opt-in."""
+    assert configs.REF_DEFAULT.train.deterministic_val is False
+    assert configs.TrainConfig().deterministic_val is False
+    # behavioral proof: frozen params still see epoch-varying val loss
+    cfg = _cfg(num_epochs=2, lr=0.0)
+    res = train(cfg, tiny_dataset)
+    assert res.val_history[0] != res.val_history[1]
+
+
 def test_checkpoint_roundtrip(tmp_path, tiny_dataset):
     cfg = _cfg(tmp_path, num_epochs=3)
     res = train(cfg, tiny_dataset)
@@ -139,3 +151,40 @@ def test_posterior_over_dataset(tiny_dataset):
         tiny_dataset.param_scaler, n_realizations=3, batch_size=4)
     assert pred.shape == (3, 10, 29)
     assert mask.shape == (3, 10)
+
+
+def test_ensemble_cache_not_id_keyed(tiny_dataset):
+    """Two same-shaped but different-architecture models must get distinct
+    compiled ensembles (id() keys could alias after GC); a structurally
+    equal rebuilt model must REUSE its compiled ensemble."""
+    import gc
+
+    from ertdx import sample as sample_mod
+    from ertdx.models import build_model
+
+    sample_mod._ENSEMBLE_CACHE.clear()
+    sch = get_diffusion_schedule(5)
+    cond = jnp.asarray(tiny_dataset.conditions[:4])
+
+    def run_one(hidden_dim, key):
+        mcfg = dataclasses.replace(configs.ModelConfig(), cond_length=96,
+                                   cond_channels=4, hidden_dim=hidden_dim)
+        model = build_model(mcfg)
+        params = model.init(jax.random.key(0), cond[:, 0, 0][:, None] *
+                            jnp.zeros((4, mcfg.param_dim)),
+                            jnp.zeros((4,), jnp.int32), cond)["params"]
+        u = posterior_ensemble(model, params, cond, sch, key,
+                               n_realizations=2)
+        del model
+        gc.collect()  # free the module so its id CAN be reused
+        return np.asarray(u)
+
+    u32 = run_one(32, jax.random.key(1))
+    u64 = run_one(64, jax.random.key(1))
+    assert u32.shape == u64.shape == (2, 4, 29)
+    # different architectures -> different cache entries, both usable
+    assert len(sample_mod._ENSEMBLE_CACHE) == 2
+    # same architecture rebuilt from scratch -> structural hit, no growth
+    u32b = run_one(32, jax.random.key(1))
+    assert len(sample_mod._ENSEMBLE_CACHE) == 2
+    np.testing.assert_array_equal(u32, u32b)
