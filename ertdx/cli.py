@@ -225,6 +225,12 @@ def cmd_plot(args) -> int:
     plots.plot_wsse_per_survey(wsse, path=str(out / "wsse.png"))
     plots.plot_best_sim_panels(sim, cond, wsse.sum(axis=1),
                                path=str(out / "best_sims.png"))
+    plots.plot_estimate_vs_conditional(stats["mean"], cond, "Ensemble Mean",
+                                       path=str(out / "mean_vs_cond.png"))
+    plots.plot_estimate_vs_conditional(stats["mode"], cond, "Ensemble Mode",
+                                       path=str(out / "mode_vs_cond.png"))
+    plots.plot_mse_distribution(sim, cond,
+                                path=str(out / "mse_distribution.png"))
     print(f"figures under {out}")
     return 0
 

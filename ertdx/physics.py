@@ -130,8 +130,15 @@ class PflotranSimulator:
         sp = [f"{v:12.4e}" for v in p]
 
         def occurrences(kw: str) -> List[int]:
-            return [i for i, ln in enumerate(lines)
-                    if ln.lstrip().startswith(kw)]
+            # exact-token anchor: a prefix match would confuse 'M' with
+            # MODE/MAX_STEPS/MAX_CAPILLARY_PRESSURE etc. (all real
+            # PFLOTRAN keywords in the 1002023c.in layout)
+            out = []
+            for i, ln in enumerate(lines):
+                toks = ln.split()
+                if toks and toks[0] == kw:
+                    out.append(i)
+            return out
 
         def setval(idx: int, kw: str, val: str) -> None:
             indent = lines[idx][: len(lines[idx]) - len(lines[idx].lstrip())]
@@ -160,7 +167,7 @@ class PflotranSimulator:
             o = mat_params[m]
             setval(idx, "PERM_Z", str(p[o[1]] * p[o[2]]))
         alpha_occ = occurrences("ALPHA")
-        m_occ = occurrences("M ") or occurrences("M")
+        m_occ = occurrences("M")
         lrs_occ = occurrences("LIQUID_RESIDUAL_SATURATION")
         vg = [(18, 19, 20), (21, 22, 23)]
         for f_idx, idx in enumerate(alpha_occ[:2]):

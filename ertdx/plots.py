@@ -9,6 +9,8 @@ reference locations (SURVEY.md §2 row 31):
   * per-parameter posterior KDE+hist vs truth (:601-631)
   * WSSE-per-survey lines with best-N highlight (:791-811)
   * best-sim panels: heatmap/scatter/KDE + Wasserstein (:829-863)
+  * mean/mode-vs-conditional standalone identity scatters (:905-922)
+  * per-sim MSE-distribution KDE (:927-938)
   * 3x3 mean/mode/diff/quantile grid (:952-1034)
   * coverage ("accuracy") plots with annotations (:1139-1183)
   * sampling diagnostics: histograms + correlation matrix
@@ -227,6 +229,52 @@ def plot_ensemble_grid(stats: Dict[str, np.ndarray],
         ax.set_title(title)
         fig.colorbar(im, ax=ax, shrink=1.0, aspect=20)
     plt.tight_layout()
+    return _finish(fig, path)
+
+
+def plot_estimate_vs_conditional(estimate: np.ndarray,
+                                 conditional: np.ndarray,
+                                 label: str = "Ensemble Mean",
+                                 path: Optional[str] = None):
+    """Standalone identity scatter: ensemble mean (or mode) against the
+    conditional ERT, with the red dashed identity line.
+
+    Reference: ERT_Conditional_Diffusion.py:905-922 (two near-identical
+    blocks for mean and mode — the reference titles the mode variant
+    'Ensemble Modes vs. Conditional ERT')."""
+    estimate = np.asarray(estimate)
+    conditional = np.asarray(conditional)
+    fig = plt.figure(figsize=(6, 4), dpi=150)
+    mn = min(estimate.min(), conditional.min())
+    mx = max(estimate.max(), conditional.max())
+    plt.plot([mn, mx], [mn, mx], color="red", linestyle="--", linewidth=1)
+    plt.scatter(estimate.ravel(), conditional.ravel(), color="black", s=10)
+    plt.xlabel(label)
+    plt.ylabel("Conditional ERT")
+    suffix = "s" if "mode" in label.lower() else ""
+    plt.title(f"{label}{suffix} vs. Conditional ERT")
+    return _finish(fig, path)
+
+
+def plot_mse_distribution(sim_data: np.ndarray, conditional: np.ndarray,
+                          path: Optional[str] = None):
+    """KDE of the per-simulation MSE against the conditional ERT, with a
+    dashed vertical guide at zero.
+
+    Reference: ERT_Conditional_Diffusion.py:927-938."""
+    sim_data = np.asarray(sim_data)
+    cond_flat = np.asarray(conditional, float).ravel()
+    mse = np.mean(
+        (sim_data.reshape(sim_data.shape[0], -1) - cond_flat[None, :]) ** 2,
+        axis=1)
+    fig = plt.figure(figsize=(6, 4), dpi=150)
+    g, dens = _gaussian_kde_curve(mse)
+    plt.plot(g, dens)
+    plt.axvline(0, linewidth=1, linestyle="--", color="black")
+    plt.xlabel("MSE")
+    plt.ylabel("Density")
+    plt.title("Distribution of MSE between ERT Simulations and "
+              "Conditional ERT")
     return _finish(fig, path)
 
 

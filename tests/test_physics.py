@@ -233,3 +233,60 @@ def test_isolated_workdirs_no_collision(tmp_path):
     assert d0[0] == 0 and d1[0] == 1000
     assert (tmp_path / "run_0000").is_dir()
     assert (tmp_path / "run_0001").is_dir()
+
+
+def test_keyword_mode_on_realistic_1002023c_template(tmp_path):
+    """Keyword mode must agree with reference-exact line mode on a
+    realistic 1002023c.in-layout template (178 lines, real keyword
+    structure incl. both capillary-function M/LIQUID_RESIDUAL_SATURATION
+    repeats per formation — Generate_ERT_utils.py:245-325), and must not
+    touch M-prefixed keywords (MODE, MAX_STEPS, MAX_CAPILLARY_PRESSURE,
+    MAXIMUM_NUMBER_OF_ITERATIONS)."""
+    from pathlib import Path
+
+    tpl = Path(__file__).parent / "fixtures" / "pflotran_template.in"
+    template = tpl.read_text().splitlines(keepends=True)
+    assert len(template) >= 157
+
+    p = np.linspace(0.11, 0.95, 29)
+    out_l = PflotranSimulator(str(tpl), "run", mode="lines",
+                              output_dir=str(tmp_path / "l")
+                              ).create_input_file(p, 1)
+    out_k = PflotranSimulator(str(tpl), "run", mode="keywords",
+                              output_dir=str(tmp_path / "k")
+                              ).create_input_file(p, 1)
+    ll = Path(out_l).read_text().splitlines()
+    lk = Path(out_k).read_text().splitlines()
+    assert len(ll) == len(lk) == len(template)
+
+    n_patched = 0
+    for i, (a, b) in enumerate(zip(ll, lk)):
+        ta, tb = a.split(), b.split()
+        if not ta and not tb:
+            continue
+        assert ta and tb, f"line {i}: blank/non-blank mismatch"
+        assert ta[0] == tb[0], f"line {i}: keyword changed {ta} vs {tb}"
+        assert len(ta) == len(tb), f"line {i}: token count {ta} vs {tb}"
+        for x, y in zip(ta[1:], tb[1:]):
+            if x == y:
+                continue
+            # same value, possibly different float formatting
+            assert float(x) == pytest.approx(float(y), rel=1e-12), (i, a, b)
+        if a != template[i].rstrip("\n").rstrip():
+            n_patched += 1
+    # all 25 reference splice targets were actually rewritten
+    assert n_patched >= 25
+
+    # the M-prefixed bait keywords survive untouched in keyword mode
+    for i, ln in enumerate(template):
+        tok = ln.split()[0] if ln.split() else ""
+        if tok in ("MODE", "MAX_STEPS", "MAX_CAPILLARY_PRESSURE",
+                   "MAXIMUM_NUMBER_OF_ITERATIONS"):
+            assert lk[i] == ln.rstrip("\n"), f"line {i} was corrupted"
+
+    # spot-check exact slots against the parameter vector
+    assert float(lk[134].split()[1]) == pytest.approx(p[19])   # Hanford M
+    assert float(lk[140].split()[1]) == pytest.approx(p[19])   # rel-perm M
+    assert float(lk[148].split()[1]) == pytest.approx(p[22])   # Ringold M
+    assert float(lk[89].split()[1]) == pytest.approx(p[1] * p[2])  # PERM_Z
+    assert float(lk[22].split()[1]) == pytest.approx(p[27])    # water cond

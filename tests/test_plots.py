@@ -35,9 +35,18 @@ def test_all_figure_families(tmp_path, rng):
     plots.plot_sampling_diagnostics(rng.uniform(size=(64, 29)),
                                     output_dir=str(tmp_path))
 
+    # standalone identity scatters + per-sim MSE KDE (ref :905-938)
+    plots.plot_estimate_vs_conditional(stats["mean"], cond, "Ensemble Mean",
+                                       path=str(tmp_path / "mean_sc.png"))
+    plots.plot_estimate_vs_conditional(stats["mode"], cond, "Ensemble Mode",
+                                       path=str(tmp_path / "mode_sc.png"))
+    plots.plot_mse_distribution(sim, cond,
+                                path=str(tmp_path / "mse_kde.png"))
+
     expected = ["loss.png", "hist.png", "ert.png", "post.png", "wsse.png",
                 "best.png", "grid.png", "cov.png",
-                "sampling_diagnostics.png", "parameter_correlations.png"]
+                "sampling_diagnostics.png", "parameter_correlations.png",
+                "mean_sc.png", "mode_sc.png", "mse_kde.png"]
     for name in expected:
         f = tmp_path / name
         assert f.exists() and f.stat().st_size > 1000, name
