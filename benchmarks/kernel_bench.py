@@ -97,10 +97,48 @@ def bench_groupnorm(b=16, l=1174, c=256, groups=8):
     return out
 
 
+def bench_gnconv(b=32, l=587, c=128, co=128, groups=8):
+    """Fused GN+SiLU+conv3 (Pallas) vs the unfused XLA composition, at the
+    CondUNet encoder's reference-grid shapes (stage 0: (32, 587, 128);
+    stage 1+: (32, 294, 256))."""
+    from ertdx.ops.conv import gn_silu_conv3, reference_gn_silu_conv3
+    x0 = jax.random.normal(jax.random.key(30), (b, l, c))
+    gamma = jnp.ones(c)
+    beta = jnp.zeros(c)
+    w = 0.05 * jax.random.normal(jax.random.key(31), (3, c, co))
+    bias = jnp.zeros(co)
+
+    out = {}
+    tag = f"{b}x{l}x{c}to{co}"
+    for name, fn in (("pallas", lambda x: gn_silu_conv3(
+                          x, gamma, beta, w, bias, groups, 1e-5, True)),
+                     ("xla", lambda x: reference_gn_silu_conv3(
+                          x, gamma, beta, w, bias, groups))):
+        def make_fwd(fn=fn):
+            def body(key):
+                x = x0 + 1e-9 * jax.random.normal(key, x0.shape)
+                return jnp.mean(fn(x))
+            return body
+
+        def make_bwd(fn=fn):
+            def body(key):
+                x = x0 + 1e-9 * jax.random.normal(key, x0.shape)
+                g = jax.grad(lambda x_: jnp.mean(fn(x_) ** 2))(x)
+                return jnp.mean(g)
+            return body
+
+        out[f"gnconv_{tag}_fwd_{name}_ms"] = scan_time(make_fwd) * 1e3
+        out[f"gnconv_{tag}_fwdbwd_{name}_ms"] = scan_time(make_bwd) * 1e3
+    return out
+
+
 def main():
     record = {"backend": jax.default_backend()}
     record.update(bench_attention())
     record.update(bench_groupnorm())
+    record.update(bench_gnconv(b=32, l=587, c=128, co=128))
+    record.update(bench_gnconv(b=32, l=294, c=256, co=256))
+    record.update(bench_gnconv(b=32, l=587, c=256, co=256))
     print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
                       for k, v in record.items()}, indent=2))
 

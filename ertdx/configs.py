@@ -33,6 +33,9 @@ class ModelConfig:
                                    # with XLA's fused GN (C=128..512, fwd+
                                    # bwd); off by default, kept as the
                                    # explicit-kernel path
+    pallas_conv: bool = False      # pallas fused GN+SiLU+conv3 in the
+                                   # encoder ResBlocks (A/B in
+                                   # benchmarks/kernel_bench.py)
     dtype: str = "float32"         # condunet compute dtype ("bfloat16"
                                    # for MXU-native training; params f32)
 

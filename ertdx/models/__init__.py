@@ -28,6 +28,7 @@ def build_model(cfg: ModelConfig):
                         num_heads=cfg.num_heads, num_blocks=cfg.num_blocks,
                         use_pallas=cfg.use_pallas,
                         pallas_gn=cfg.pallas_gn,
+                        pallas_conv=cfg.pallas_conv,
                         dtype=jnp.dtype(cfg.dtype))
     raise ValueError(f"unknown model {cfg.name!r}")
 

@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import flash_attention, reference_attention
+from ..ops.attention import (flash_attention, flash_cross_attention,
+                             reference_attention)
+from ..ops.conv import gn_silu_conv3
 from ..ops.groupnorm import groupnorm_silu
 from .common import get_timestep_embedding
 
@@ -53,23 +55,52 @@ class GNSiLU(nn.Module):
                               1e-5, self.use_pallas)
 
 
+class FusedGNConv(nn.Module):
+    """GroupNorm+SiLU+Conv1d(k=3) as ONE Pallas kernel (XLA fallback).
+
+    Same parameter shapes/initializers as the GNSiLU + nn.Conv pair it
+    replaces, so checkpoints are interchangeable module-for-module."""
+
+    features: int
+    num_groups: int = 8
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("gn_scale", nn.initializers.ones, (c,))
+        beta = self.param("gn_bias", nn.initializers.zeros, (c,))
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, c, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return gn_silu_conv3(x, gamma, beta, w, b, self.num_groups, 1e-5,
+                             self.use_pallas)
+
+
 class ResBlock1D(nn.Module):
     features: int
     num_groups: int = 8
     use_pallas: bool = True
+    pallas_conv: bool = False    # fuse GN+SiLU+conv into one Pallas kernel
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None):
-        h = GNSiLU(self.num_groups, self.use_pallas)(x)
-        h = nn.Conv(self.features, (3,), padding="SAME",
-                    dtype=self.dtype)(h)
+        if self.pallas_conv:
+            h = FusedGNConv(self.features, self.num_groups)(x)
+        else:
+            h = GNSiLU(self.num_groups, self.use_pallas)(x)
+            h = nn.Conv(self.features, (3,), padding="SAME",
+                        dtype=self.dtype)(h)
         if temb is not None:
             h = h + nn.Dense(self.features,
                              dtype=self.dtype)(nn.silu(temb))[:, None, :]
-        h = GNSiLU(self.num_groups, self.use_pallas)(h)
-        h = nn.Conv(self.features, (3,), padding="SAME",
-                    dtype=self.dtype)(h)
+        if self.pallas_conv:
+            h = FusedGNConv(self.features, self.num_groups)(h)
+        else:
+            h = GNSiLU(self.num_groups, self.use_pallas)(h)
+            h = nn.Conv(self.features, (3,), padding="SAME",
+                        dtype=self.dtype)(h)
         skip = x if x.shape[-1] == self.features else nn.Conv(
             self.features, (1,), dtype=self.dtype)(x)
         return skip + h
@@ -133,6 +164,7 @@ class ConditionEncoder(nn.Module):
     patch: int = 8
     use_pallas: bool = True
     pallas_gn: bool = False
+    pallas_conv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -144,16 +176,19 @@ class ConditionEncoder(nn.Module):
         h = condition.reshape(b, lp // self.patch, self.patch * c)
         w0 = 2 * self.base_width
         h = nn.Dense(w0, dtype=self.dtype)(h)             # patchify stem
-        h = ResBlock1D(w0, use_pallas=self.pallas_gn, dtype=self.dtype)(h)
+        h = ResBlock1D(w0, use_pallas=self.pallas_gn,
+                       pallas_conv=self.pallas_conv, dtype=self.dtype)(h)
         for i in range(self.depth - 1):
             w = min(w0 * (2 ** (i + 1)), 4 * self.base_width)
             h = nn.Conv(w, (3,), strides=(2,), padding="SAME",
                         dtype=self.dtype)(h)
             h = ResBlock1D(w, use_pallas=self.pallas_gn,
+                           pallas_conv=self.pallas_conv,
                            dtype=self.dtype)(h)
         h = SelfAttention1D(self.num_heads, self.use_pallas,
                             dtype=self.dtype)(h)
         h = ResBlock1D(h.shape[-1], use_pallas=self.pallas_gn,
+                       pallas_conv=self.pallas_conv,
                        dtype=self.dtype)(h)
         tokens = nn.Dense(self.hidden_dim, dtype=self.dtype)(h)
         pooled = jnp.mean(tokens, axis=1)                # (B, D)
@@ -179,18 +214,32 @@ class AdaLN(nn.Module):
 
 
 class CoreBlock(nn.Module):
-    """AdaLN-conditioned [self-attn, cross-attn to cond tokens, MLP]."""
+    """AdaLN-conditioned [self-attn, cross-attn to cond tokens, MLP].
+
+    `fold` > 1 marks posterior-ensemble mode: x carries `fold` chains per
+    condition in CONDITION-MAJOR order (chain index = b*fold + r) while
+    cond_tokens stays at condition batch size B. Cross-attention then
+    folds the chains into the query length — (B, fold*P) queries against
+    (B, Lc) keys — so K/V are computed and stored ONCE per condition,
+    never tiled across the chains (the tiled layout cost ~20 GB of HBM
+    traffic per reverse step at the configs[3] workload)."""
 
     num_heads: int
+    use_pallas: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cond_tokens, cvec):
+    def __call__(self, x, cond_tokens, cvec, fold: int = 1):
         b, p, d = x.shape
         dh = d // self.num_heads
 
-        def heads(z, l):
-            return z.reshape(b, l, self.num_heads, dh).transpose(0, 2, 1, 3)
+        def heads(z):
+            n, l = z.shape[0], z.shape[1]
+            return z.reshape(n, l, self.num_heads, dh).transpose(0, 2, 1, 3)
+
+        def unheads(z):
+            n, _, l, _ = z.shape
+            return z.transpose(0, 2, 1, 3).reshape(n, l, d)
 
         dense = lambda feats, **kw: nn.Dense(feats, dtype=self.dtype, **kw)
 
@@ -198,20 +247,21 @@ class CoreBlock(nn.Module):
         # qkv fused into one matmul — the core is small-op-count-bound
         h = AdaLN(self.dtype)(x, cvec)
         q, k, v = jnp.split(dense(3 * d, use_bias=False)(h), 3, axis=-1)
-        q, k, v = heads(q, p), heads(k, p), heads(v, p)
-        a = reference_attention(q, k, v)
-        a = a.transpose(0, 2, 1, 3).reshape(b, p, d)
+        a = reference_attention(heads(q), heads(k), heads(v))
+        a = unheads(a).reshape(b, p, d)
         x = x + dense(d, kernel_init=nn.initializers.zeros)(a)
 
         # cross-attention to the condition tokens (fused kv projection)
         h = AdaLN(self.dtype)(x, cvec)
-        lc = cond_tokens.shape[1]
-        q = heads(dense(d, use_bias=False)(h), p)
+        bc = cond_tokens.shape[0]
+        q = dense(d, use_bias=False)(h)                     # (b, p, d)
+        if fold > 1:
+            q = q.reshape(bc, fold * p, d)   # condition-major: free view
         k, v = jnp.split(dense(2 * d, use_bias=False)(cond_tokens), 2,
                          axis=-1)
-        k, v = heads(k, lc), heads(v, lc)
-        a = reference_attention(q, k, v)
-        a = a.transpose(0, 2, 1, 3).reshape(b, p, d)
+        a = flash_cross_attention(heads(q), heads(k), heads(v),
+                                  use_pallas=self.use_pallas)
+        a = unheads(a).reshape(b, p, d)
         x = x + dense(d, kernel_init=nn.initializers.zeros)(a)
 
         # MLP
@@ -233,6 +283,8 @@ class CondUNet(nn.Module):
     use_pallas: bool = True      # pallas flash attention (wins vs XLA here)
     pallas_gn: bool = False      # pallas GN measured at parity with XLA's
                                  # fused GN across widths; XLA default
+    pallas_conv: bool = False    # fused GN+SiLU+conv3 encoder kernel
+                                 # (dispatch per benchmarks/kernel_bench.py)
     dtype: Any = jnp.float32     # compute dtype (params stay f32);
                                  # jnp.bfloat16 for MXU-native training
 
@@ -241,14 +293,15 @@ class CondUNet(nn.Module):
             hidden_dim=self.hidden_dim, base_width=self.base_width,
             depth=self.depth, num_heads=self.num_heads,
             use_pallas=self.use_pallas, pallas_gn=self.pallas_gn,
-            dtype=self.dtype)
+            pallas_conv=self.pallas_conv, dtype=self.dtype)
         self.lift = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.pos_emb = self.param(
             "pos_emb", nn.initializers.normal(0.02),
             (self.param_dim, self.hidden_dim))
         self.time_mlp1 = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.time_mlp2 = nn.Dense(self.hidden_dim, dtype=self.dtype)
-        self.blocks = [CoreBlock(self.num_heads, self.dtype)
+        self.blocks = [CoreBlock(self.num_heads, self.use_pallas,
+                                 self.dtype)
                        for _ in range(self.num_blocks)]
         self.out_norm = nn.LayerNorm()  # final norm + head stay f32
         self.head = nn.Dense(1, kernel_init=nn.initializers.zeros)
@@ -262,11 +315,27 @@ class CondUNet(nn.Module):
 
     def denoise(self, x: jax.Array, t: jax.Array,
                 cond_ctx: Tuple[jax.Array, jax.Array]) -> jax.Array:
+        return self.denoise_ensemble(x, t, cond_ctx, 1)
+
+    def denoise_ensemble(self, x: jax.Array, t: jax.Array,
+                         cond_ctx: Tuple[jax.Array, jax.Array],
+                         n_real: int) -> jax.Array:
+        """Denoise (B*n_real, P) chains laid out CONDITION-MAJOR (chain
+        index = b*n_real + r) against a batch-B condition context.
+
+        The condition tokens/vector are never tiled across realizations:
+        cross-attention folds the chains into the query length (CoreBlock
+        fold mode) and the AdaLN vector broadcasts via one cheap repeat.
+        This is what makes the 1000-member configs[3] ensemble HBM-light
+        (the reference loops 50 sequential full re-encodes instead,
+        ERT_Conditional_Diffusion.py:396-412)."""
         cond_tokens, cond_vec = cond_ctx
-        cvec = self.embed_time(t) + cond_vec
+        cvec = self.embed_time(t) + (
+            jnp.repeat(cond_vec, n_real, axis=0) if n_real > 1
+            else cond_vec)
         tokens = self.lift(x[..., None]) + self.pos_emb[None]
         for blk in self.blocks:
-            tokens = blk(tokens, cond_tokens, cvec)
+            tokens = blk(tokens, cond_tokens, cvec, fold=n_real)
         tokens = self.out_norm(tokens)
         return self.head(tokens)[..., 0]
 

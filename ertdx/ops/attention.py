@@ -331,6 +331,55 @@ def _aligned(q, k, block: int = 128) -> bool:
             and q.shape[3] in (64, 128, 256))
 
 
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def flash_cross_attention(q, k, v, kv_mask=None, use_pallas: bool = True,
+                          min_q_len: int = 1024):
+    """Flash attention for ARBITRARY (Lq, Lk, Dh): pads lengths to the
+    128 block and the head dim up to a supported kernel width, with the
+    softmax scale compensated by pre-scaling q (the kernel scales by
+    1/sqrt(padded_d); multiplying q by sqrt(padded_d/d) restores
+    1/sqrt(d)). Zero-padded keys are masked out; zero-padded value/head
+    columns contribute nothing and are sliced away.
+
+    The posterior-ensemble cross-attention (thousands of folded query
+    tokens attending to ~147 condition tokens per condition) is the
+    motivating shape — materialized XLA logits there cost GBs per step.
+    Falls back to the XLA reference under min_q_len or off-TPU."""
+    d = q.shape[3]
+    dp = next((c for c in (64, 128, 256) if d <= c), None)
+    if (not use_pallas or jax.default_backend() != "tpu"
+            or q.shape[2] < min_q_len or dp is None):
+        return reference_attention(q, k, v, kv_mask)
+    return _flash_cross_padded(q, k, v, kv_mask)
+
+
+def _flash_cross_padded(q, k, v, kv_mask=None, interpret: bool = False):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    dp = next(c for c in (64, 128, 256) if d <= c)
+    lqp, lkp = _ceil_to(lq, 128), _ceil_to(lk, 128)
+    if dp != d:
+        q = q * math.sqrt(dp / d)
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    base = kv_mask if kv_mask is not None else jnp.ones((b, lk))
+    mask = jnp.pad(base, ((0, 0), (0, lkp - lk)))
+    if interpret:
+        out = _flash_forward(q, k, v, mask, interpret=True)[0]
+    else:
+        out = flash_attention(q, k, v, mask, True)
+    return out[:, :, :lq, :d]
+
+
+def flash_cross_attention_interpret(q, k, v, kv_mask=None):
+    """Interpreter-mode padded cross-attention (CPU testing)."""
+    return _flash_cross_padded(q, k, v, kv_mask, interpret=True)
+
+
 def flash_attention_interpret(q, k, v, kv_mask=None):
     """Interpreter-mode forward kernel run (CPU testing of the Pallas path).
 

@@ -81,13 +81,31 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
         if (n_realizations * batch) % n_dev == 0:
             shard_chains = batch_sharding(mesh)
 
+    ensemble_native = hasattr(model, "denoise_ensemble")
+
     @jax.jit
     def run(params, condition, key, schedule):
         B = condition.shape[0]
         cond_ctx = model.apply({"params": params}, condition,
                                method=model.encode_condition)
-        # realization-major layout — index r*B + b — so the reshape below
-        # is exact
+        if ensemble_native:
+            # condition-major layout (chain index = b*R + r): the model
+            # folds chains into the cross-attention query length, so the
+            # condition context is NEVER tiled across realizations —
+            # K/V stay at batch B (CondUNet.denoise_ensemble)
+            def denoise_fn(x, t):
+                if shard_chains is not None:
+                    x = jax.lax.with_sharding_constraint(x, shard_chains)
+                return model.apply({"params": params}, x, t, cond_ctx,
+                                   n_realizations,
+                                   method=model.denoise_ensemble)
+
+            u = sampler(denoise_fn, key, (n_realizations * B, P),
+                        schedule=schedule)
+            return u.reshape(B, n_realizations, P).transpose(1, 0, 2)
+
+        # generic models: realization-major layout — index r*B + b — the
+        # whole context tiles into the batch axis
         ctx_tiled = jax.tree_util.tree_map(
             lambda a: jnp.tile(a, (n_realizations,) + (1,) * (a.ndim - 1)),
             cond_ctx)

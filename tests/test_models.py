@@ -134,3 +134,74 @@ def test_condunet_grad_flows():
     leaves = jax.tree_util.tree_leaves(g)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
     assert np.isfinite(total) and total > 0
+
+
+def test_condunet_denoise_ensemble_equals_tiled_denoise():
+    """Folded ensemble denoising (condition-major, K/V never tiled) must be
+    EXACTLY the same function as per-chain denoising with a condition-major
+    tiled context — the fold is a pure reshape of the cross-attn queries."""
+    cfg = dataclasses.replace(ModelConfig(), name="condunet",
+                              cond_length=96, cond_channels=4,
+                              base_width=16, depth=2, num_blocks=2,
+                              num_heads=2, hidden_dim=32)
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    B, R, P = 3, 4, cfg.param_dim
+    cond = jnp.asarray(rng.normal(size=(B, 96, 4)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B * R, P)), jnp.float32)
+    t = jnp.asarray(rng.integers(0, 10, size=(B * R,)), jnp.int32)
+    variables = model.init(jax.random.key(0), x[:B], t[:B], cond)
+
+    ctx = model.apply(variables, cond, method=model.encode_condition)
+    out_fold = model.apply(variables, x, t, ctx, R,
+                           method=model.denoise_ensemble)
+    ctx_cm = jax.tree_util.tree_map(
+        lambda a: jnp.repeat(a, R, axis=0), ctx)  # condition-major tiling
+    out_tile = model.apply(variables, x, t, ctx_cm, method=model.denoise)
+    np.testing.assert_allclose(np.asarray(out_fold), np.asarray(out_tile),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_posterior_ensemble_condition_major_grouping():
+    """posterior_ensemble's (R, B, P) output must keep realization r of
+    condition b tied to condition b (layout regression for the
+    condition-major fold): distinct conditions give distinct chains, and
+    a one-condition ensemble equals the matching column of a batched one
+    when driven by the same per-chain noise? (stream differs; instead pin
+    the reshape by checking variance structure across axes)."""
+    from ertdx.diffusion import get_diffusion_schedule
+    from ertdx.sample import posterior_ensemble
+    cfg = dataclasses.replace(ModelConfig(), name="condunet",
+                              cond_length=96, cond_channels=4,
+                              base_width=16, depth=2, num_blocks=2,
+                              num_heads=2, hidden_dim=32)
+    model = build_model(cfg)
+    rng = np.random.default_rng(1)
+    B, R = 4, 6
+    cond = jnp.asarray(rng.normal(size=(B, 96, 4)), jnp.float32)
+    x0 = jnp.zeros((B, cfg.param_dim))
+    t0 = jnp.zeros((B,), jnp.int32)
+    params = model.init(jax.random.key(0), x0, t0, cond)["params"]
+    # the head/out-projections are zero-init (eps_hat == 0 at init, i.e.
+    # condition-independent); perturb so the denoiser actually reads cond
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(9), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        a + 0.05 * jax.random.normal(k, a.shape, a.dtype)
+        for a, k in zip(leaves, keys)])
+    sch = get_diffusion_schedule(8)
+    u = posterior_ensemble(model, params, cond, sch, jax.random.key(2),
+                           n_realizations=R)
+    assert u.shape == (R, B, cfg.param_dim)
+    assert np.isfinite(np.asarray(u)).all()
+    # same key, same conditions -> bitwise reproducible
+    u2 = posterior_ensemble(model, params, cond, sch, jax.random.key(2),
+                            n_realizations=R)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u2))
+    # a different condition in slot 0 changes ONLY column 0
+    cond_b = cond.at[0].set(cond[1] * 1.5 + 0.3)
+    u3 = posterior_ensemble(model, params, cond_b, sch, jax.random.key(2),
+                            n_realizations=R)
+    assert not np.allclose(np.asarray(u3[:, 0]), np.asarray(u[:, 0]))
+    np.testing.assert_allclose(np.asarray(u3[:, 1:]), np.asarray(u[:, 1:]),
+                               rtol=1e-4, atol=1e-5)

@@ -161,3 +161,65 @@ def test_gn_silu_fused_backward_matches_reference():
                                rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(dbeta), np.asarray(rbeta),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_gn_silu_conv3_kernel_matches_reference_interpret():
+    """Fused GN+SiLU+Conv1d(k=3) Pallas kernel (interpreter mode) == the
+    XLA composition, including the zero-padded SAME boundary rows."""
+    from ertdx.ops.conv import (gn_silu_conv3_interpret,
+                                reference_gn_silu_conv3)
+    rng = np.random.default_rng(3)
+    B, L, C, CO = 3, 40, 32, 48
+    x = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, C), jnp.float32)
+    beta = jnp.asarray(rng.normal(size=C), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, C, CO)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=CO) * 0.1, jnp.float32)
+    ref = reference_gn_silu_conv3(x, gamma, beta, w, b, 8)
+    out = gn_silu_conv3_interpret(x, gamma, beta, w, b, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gn_silu_conv3_grad_matches_reference():
+    """custom-VJP backward (XLA recompute) == autodiff of the reference."""
+    from ertdx.ops.conv import gn_silu_conv3, reference_gn_silu_conv3
+    rng = np.random.default_rng(4)
+    B, L, C, CO = 2, 24, 16, 16
+    x = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, C), jnp.float32)
+    beta = jnp.asarray(rng.normal(size=C), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, C, CO)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=CO) * 0.1, jnp.float32)
+
+    g1 = jax.grad(lambda *a: jnp.mean(
+        gn_silu_conv3(*a, 4) ** 2), argnums=(0, 1, 2, 3, 4))(
+            x, gamma, beta, w, b)
+    g2 = jax.grad(lambda *a: jnp.mean(
+        reference_gn_silu_conv3(*a, 4) ** 2), argnums=(0, 1, 2, 3, 4))(
+            x, gamma, beta, w, b)
+    for a, r in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_flash_cross_attention_padded_matches_reference():
+    """Padded cross-attention (odd Lq/Lk, dh=32 padded to 64 with scale
+    compensation) == XLA reference, interpreter mode."""
+    from ertdx.ops.attention import (flash_cross_attention_interpret,
+                                     reference_attention)
+    rng = np.random.default_rng(7)
+    b, h, lq, lk, d = 2, 4, 150, 147, 32
+    q = jnp.asarray(rng.normal(size=(b, h, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.float32)
+    ref = reference_attention(q, k, v)
+    out = flash_cross_attention_interpret(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # with a partial kv mask
+    mask = jnp.asarray(rng.uniform(size=(b, lk)) > 0.3, jnp.float32)
+    ref = reference_attention(q, k, v, mask)
+    out = flash_cross_attention_interpret(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
