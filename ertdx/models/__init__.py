@@ -25,7 +25,8 @@ def build_model(cfg: ModelConfig):
         return CondUNet(param_dim=cfg.param_dim, hidden_dim=cfg.hidden_dim,
                         cond_channels=cfg.cond_channels,
                         base_width=cfg.base_width, depth=cfg.depth,
-                        num_heads=cfg.num_heads, num_blocks=cfg.num_blocks,
+                        num_heads=cfg.num_heads, core_heads=cfg.core_heads,
+                        num_blocks=cfg.num_blocks,
                         use_pallas=cfg.use_pallas,
                         pallas_gn=cfg.pallas_gn,
                         pallas_conv=cfg.pallas_conv,

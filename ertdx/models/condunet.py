@@ -29,8 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import (flash_attention, flash_cross_attention,
-                             reference_attention)
+from ..ops.attention import flash_attention, reference_attention
 from ..ops.conv import gn_silu_conv3
 from ..ops.groupnorm import groupnorm_silu
 from .common import get_timestep_embedding
@@ -222,10 +221,21 @@ class CoreBlock(nn.Module):
     folds the chains into the query length — (B, fold*P) queries against
     (B, Lc) keys — so K/V are computed and stored ONCE per condition,
     never tiled across the chains (the tiled layout cost ~20 GB of HBM
-    traffic per reverse step at the configs[3] workload)."""
+    traffic per reverse step at the configs[3] workload).
 
-    num_heads: int
-    use_pallas: bool = True
+    num_heads defaults to 1 here (the CondUNet passes core_heads): with
+    D=128 over
+    P=29 tokens, multi-head tensors have head_dim 32 — a quarter of the
+    TPU's 128 lanes — and every attention tensor pads 4x with relayout
+    transposes. Measured at the configs[3] ensemble: heads=1 85.6 ms/step
+    vs heads=4 249 ms/step (docs/DESIGN.md §6). Parameter shapes are
+    head-count independent (the QKV projections are full-width), so
+    checkpoints are interchangeable. The folded cross-attention uses XLA
+    attention: the padded flash kernel measured SLOWER here (129 vs 85.6
+    ms/step — tiny kv at HIGHEST precision), so Pallas stays for the
+    encoder's long sequences where it wins."""
+
+    num_heads: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -259,8 +269,7 @@ class CoreBlock(nn.Module):
             q = q.reshape(bc, fold * p, d)   # condition-major: free view
         k, v = jnp.split(dense(2 * d, use_bias=False)(cond_tokens), 2,
                          axis=-1)
-        a = flash_cross_attention(heads(q), heads(k), heads(v),
-                                  use_pallas=self.use_pallas)
+        a = reference_attention(heads(q), heads(k), heads(v))
         a = unheads(a).reshape(b, p, d)
         x = x + dense(d, kernel_init=nn.initializers.zeros)(a)
 
@@ -278,7 +287,9 @@ class CondUNet(nn.Module):
     cond_channels: int = 14
     base_width: int = 64
     depth: int = 3
-    num_heads: int = 4
+    num_heads: int = 4           # encoder attention heads (dh=64: aligned)
+    core_heads: int = 1          # core attention heads — 1 keeps head_dim
+                                 # = hidden_dim = 128 lanes (see CoreBlock)
     num_blocks: int = 4
     use_pallas: bool = True      # pallas flash attention (wins vs XLA here)
     pallas_gn: bool = False      # pallas GN measured at parity with XLA's
@@ -300,8 +311,7 @@ class CondUNet(nn.Module):
             (self.param_dim, self.hidden_dim))
         self.time_mlp1 = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.time_mlp2 = nn.Dense(self.hidden_dim, dtype=self.dtype)
-        self.blocks = [CoreBlock(self.num_heads, self.use_pallas,
-                                 self.dtype)
+        self.blocks = [CoreBlock(self.core_heads, self.dtype)
                        for _ in range(self.num_blocks)]
         self.out_norm = nn.LayerNorm()  # final norm + head stay f32
         self.head = nn.Dense(1, kernel_init=nn.initializers.zeros)
