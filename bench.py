@@ -1,13 +1,18 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Headline metric: conditional-denoiser train steps/sec/chip at the reference
-grid (batch 32, condition 4693 x 14, T=500 — ERT_Conditional_Diffusion.py:
-271-299). vs_baseline is the ratio against the self-measured torch-CPU
-reference-equivalent train step (benchmarks/torch_baseline.json; the
-reference repo publishes no numbers, BASELINE.md).
+Headline metric (BASELINE.json): flagship U-Net denoiser train steps/sec/
+chip at the reference grid (batch 32, condition 4693 x 14, T=500 —
+ERT_Conditional_Diffusion.py:271-299). vs_baseline is the ratio against
+the self-measured torch-CPU reference-equivalent train step
+(benchmarks/torch_baseline.json; the reference publishes no numbers,
+BASELINE.md).
 
-Extra fields report the flagship CondUNet train throughput and posterior
-sampling throughput on the same chip.
+Extra fields: CondUNet DDIM-50 1000-member posterior ensemble (north-star
+sampling workload, configs[3]), FLOPs/step from XLA cost analysis and the
+resulting MFU for train + sample, plus the reference-parity RefMLP numbers.
+MFU convention: achieved FLOP/s over the chip's bf16 MXU peak (the
+standard denominator even for f32 models, which the MXU executes as bf16
+passes).
 """
 from __future__ import annotations
 
@@ -29,6 +34,30 @@ REF_CH = 14
 PARAM_DIM = 29
 T = 500
 
+# bf16 MXU peak per chip, by device_kind substring (public spec sheets)
+_PEAK_FLOPS = (("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+               ("v6 lite", 918e12), ("v6e", 918e12), ("v4", 275e12),
+               ("v3", 123e12), ("v2", 46e12))
+
+
+def _peak_flops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in _PEAK_FLOPS:
+        if sub in kind:
+            return peak
+    return float("nan")
+
+
+def _flops_of(jitted, *args) -> float:
+    """Per-call FLOPs from the compiled program's XLA cost analysis."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        return float("nan")
+
 
 def _baseline_steps_per_sec() -> float:
     path = Path(__file__).parent / "benchmarks" / "torch_baseline.json"
@@ -43,20 +72,43 @@ def _baseline_steps_per_sec() -> float:
         return float("nan")
 
 
-def _measure_train(model_name: str, steps: int = 30, warmup: int = 5
-                   ) -> float:
-    """Per-dispatch train-step rate (one host round trip per step)."""
+def _build(model_name: str, dtype: str = "float32"):
     from ertdx.configs import ModelConfig
     from ertdx.diffusion import get_diffusion_schedule
     from ertdx.models import build_model
-    from ertdx.train import create_train_state, make_train_step
+    from ertdx.train import create_train_state
 
     cfg = dataclasses.replace(ModelConfig(), name=model_name,
-                              cond_length=REF_LEN, cond_channels=REF_CH)
+                              cond_length=REF_LEN, cond_channels=REF_CH,
+                              dtype=dtype)
     model = build_model(cfg)
     sch = get_diffusion_schedule(T)
     state = create_train_state(model, jax.random.key(0), 1e-4, REF_BATCH,
                                (REF_LEN, REF_CH), PARAM_DIM)
+    return model, sch, state
+
+
+def _train_step_flops(model_name: str) -> float:
+    """FLOPs of ONE train step (fwd + bwd + Adam) at the reference grid."""
+    from ertdx.train import make_train_step
+
+    model, sch, state = _build(model_name)
+    step = make_train_step(model.apply, sch, donate=False)
+    jitted = jax.jit(lambda s, x, c, w, k: step(s, x, c, w, k))
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(REF_BATCH, PARAM_DIM)), jnp.float32)
+    cond = jnp.asarray(rng.uniform(size=(REF_BATCH, REF_LEN, REF_CH)),
+                       jnp.float32)
+    return _flops_of(jitted, state, x0, cond, jnp.ones(REF_BATCH),
+                     jax.random.key(1))
+
+
+def _measure_train(model_name: str, steps: int = 30, warmup: int = 5
+                   ) -> float:
+    """Per-dispatch train-step rate (one host round trip per step)."""
+    from ertdx.train import make_train_step
+
+    model, sch, state = _build(model_name)
     step = make_train_step(model.apply, sch)
 
     rng = np.random.default_rng(0)
@@ -79,22 +131,14 @@ def _measure_train(model_name: str, steps: int = 30, warmup: int = 5
 
 def _measure_train_epoch_scan(model_name: str, n_pool: int = 1024,
                               epochs_per_dispatch: int = 4,
-                              repeats: int = 2) -> float:
+                              repeats: int = 2,
+                              dtype: str = "float32") -> float:
     """Production path: device-resident data, lax.scan over batches AND
     epochs — ertdx.train.make_train_run. Reference-dataset scale: 4,060
     train rows = 127 steps/epoch/dispatch (here n_pool rows synthetic)."""
-    from ertdx.configs import ModelConfig
-    from ertdx.diffusion import get_diffusion_schedule
-    from ertdx.models import build_model
-    from ertdx.train import (_epoch_batches, create_train_state,
-                             make_train_run)
+    from ertdx.train import _epoch_batches, make_train_run
 
-    cfg = dataclasses.replace(ModelConfig(), name=model_name,
-                              cond_length=REF_LEN, cond_channels=REF_CH)
-    model = build_model(cfg)
-    sch = get_diffusion_schedule(T)
-    state = create_train_state(model, jax.random.key(0), 1e-4, REF_BATCH,
-                               (REF_LEN, REF_CH), PARAM_DIM)
+    model, sch, state = _build(model_name, dtype)
     run_fn = make_train_run(model.apply, sch)
 
     rng = np.random.default_rng(0)
@@ -128,32 +172,32 @@ def _measure_train_epoch_scan(model_name: str, n_pool: int = 1024,
     return n_steps / sorted(times)[len(times) // 2]
 
 
-def _measure_sampling(n_real: int = 32, repeats: int = 5) -> dict:
-    """Posterior ensemble throughput: (n_real * batch) chains x T=500 steps
-    in one scan. Returns chains/sec and denoiser-steps/sec."""
-    from ertdx.configs import ModelConfig
-    from ertdx.diffusion import get_diffusion_schedule
-    from ertdx.models import build_model
-    from ertdx.sample import posterior_ensemble
-    from ertdx.train import create_train_state
+def _ensemble_runner(model_name: str, n_real: int, scfg):
+    """The cached jitted ensemble core + its concrete arguments."""
+    from ertdx.sample import _ensemble_fn
 
-    cfg = dataclasses.replace(ModelConfig(), cond_length=REF_LEN,
-                              cond_channels=REF_CH)
-    model = build_model(cfg)
-    sch = get_diffusion_schedule(T)
-    state = create_train_state(model, jax.random.key(0), 1e-4, REF_BATCH,
-                               (REF_LEN, REF_CH), PARAM_DIM)
+    model, sch, state = _build(model_name)
     cond = jnp.asarray(
         np.random.default_rng(0).uniform(size=(REF_BATCH, REF_LEN, REF_CH)),
         jnp.float32)
+    run = _ensemble_fn(model, n_real, PARAM_DIM, scfg, None, T,
+                       cond.shape[1:], REF_BATCH)
+    return run, state.params, cond, sch
 
-    run = lambda k: posterior_ensemble(model, state.params, cond, sch, k,
-                                       n_realizations=n_real)
-    out = run(jax.random.key(2))
+
+def _measure_sampling(model_name: str, n_real: int = 32, repeats: int = 5
+                      ) -> dict:
+    """Posterior ensemble throughput: (n_real * batch) chains x T=500
+    ancestral steps in one scan. Returns chains/sec + denoiser-steps/sec."""
+    from ertdx.configs import SampleConfig
+
+    scfg = SampleConfig(uncertainty_samples=n_real)
+    run, params, cond, sch = _ensemble_runner(model_name, n_real, scfg)
+    out = run(params, cond, jax.random.key(2), sch)
     _ = float(out[0, 0, 0])
     t0 = time.perf_counter()
     for i in range(repeats):
-        out = run(jax.random.key(3 + i))
+        out = run(params, cond, jax.random.key(3 + i), sch)
         _ = float(out[0, 0, 0])  # host read: reliable sync on this backend
     dt = (time.perf_counter() - t0) / repeats
     chains = n_real * REF_BATCH
@@ -162,75 +206,97 @@ def _measure_sampling(n_real: int = 32, repeats: int = 5) -> dict:
             "ensemble_seconds": dt}
 
 
-def _measure_ddim_1000_ensemble() -> dict:
+def _measure_ddim_1000_ensemble(model_name: str) -> dict:
     """North-star workload (BASELINE configs[3]): a 1000-member posterior
-    ensemble per condition batch with the DDIM 50-step sampler."""
-    from ertdx.configs import ModelConfig, SampleConfig
-    from ertdx.diffusion import get_diffusion_schedule
-    from ertdx.models import build_model
-    from ertdx.sample import posterior_ensemble
-    from ertdx.train import create_train_state
+    ensemble per condition batch with the DDIM 50-step sampler. Also emits
+    whole-program FLOPs (XLA cost analysis) and sampling MFU."""
+    from ertdx.configs import SampleConfig
 
-    cfg = dataclasses.replace(ModelConfig(), cond_length=REF_LEN,
-                              cond_channels=REF_CH)
-    model = build_model(cfg)
-    sch = get_diffusion_schedule(T)
-    state = create_train_state(model, jax.random.key(0), 1e-4, REF_BATCH,
-                               (REF_LEN, REF_CH), PARAM_DIM)
-    cond = jnp.asarray(
-        np.random.default_rng(0).uniform(size=(REF_BATCH, REF_LEN, REF_CH)),
-        jnp.float32)
     scfg = SampleConfig(uncertainty_samples=1000, sampler="ddim",
                         ddim_steps=50)
-    run = lambda k: posterior_ensemble(model, state.params, cond, sch, k,
-                                       n_realizations=1000, scfg=scfg)
-    out = run(jax.random.key(2))
+    run, params, cond, sch = _ensemble_runner(model_name, 1000, scfg)
+    out = run(params, cond, jax.random.key(2), sch)
     _ = float(out[0, 0, 0])
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        out = run(jax.random.key(3 + i))
+        out = run(params, cond, jax.random.key(3 + i), sch)
         _ = float(out[0, 0, 0])
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
-    return {"ddim50_1000member_ensemble_seconds": dt,
-            "ddim50_1000member_chains_per_sec": 1000 * REF_BATCH / dt}
+    flops = _flops_of(run, params, cond, jax.random.key(2), sch)
+    rec = {"ddim50_1000member_ensemble_seconds": dt,
+           "ddim50_1000member_chains_per_sec": 1000 * REF_BATCH / dt,
+           "sample_flops_per_ensemble": flops}
+    peak = _peak_flops()
+    if flops == flops and peak == peak:
+        rec["mfu_sample"] = flops / dt / peak
+    return rec
 
 
 def main() -> int:
     backend = jax.default_backend()
     baseline = _baseline_steps_per_sec()
+    peak = _peak_flops()
 
-    headline = _measure_train_epoch_scan("refmlp")
+    # ---- headline: flagship CondUNet train throughput -----------------
+    headline = _measure_train_epoch_scan("condunet", n_pool=512, repeats=2)
     extras = {"backend": backend,
-              "refmlp_train_steps_per_sec_epoch_scan": headline,
+              "device_kind": jax.devices()[0].device_kind,
+              "peak_flops_assumed": peak,
+              "condunet_train_steps_per_sec": headline,
               "torch_cpu_baseline_steps_per_sec": baseline}
+
+    # train FLOPs + MFU (per-train-step flops x epoch-scan steps/s;
+    # conservative — the scan's val epochs aren't credited)
     try:
-        extras["refmlp_train_steps_per_sec_per_dispatch"] = _measure_train(
-            "refmlp", steps=20, warmup=4)
+        tf = _train_step_flops("condunet")
+        extras["condunet_train_flops_per_step"] = tf
+        if tf == tf and peak == peak:
+            extras["mfu_train"] = tf * headline / peak
     except Exception as e:  # noqa: BLE001 — bench must still print its line
-        extras["per_dispatch_error"] = str(e)[:200]
+        extras["train_flops_error"] = str(e)[:200]
+
+    # flagship sampling: the north-star DDIM-50 1000-member ensemble
     try:
-        extras["condunet_train_steps_per_sec"] = \
-            _measure_train_epoch_scan("condunet", n_pool=256, repeats=2)
-    except Exception as e:  # noqa: BLE001
-        extras["condunet_error"] = str(e)[:200]
-    try:
-        extras.update(_measure_sampling())
-    except Exception as e:  # noqa: BLE001
-        extras["sampling_error"] = str(e)[:200]
-    try:
-        extras.update(_measure_ddim_1000_ensemble())
+        extras.update(_measure_ddim_1000_ensemble("condunet"))
     except Exception as e:  # noqa: BLE001
         extras["ddim_ensemble_error"] = str(e)[:200]
+    try:
+        ancestral = _measure_sampling("condunet")
+        extras.update({f"condunet_{k}": v for k, v in ancestral.items()})
+    except Exception as e:  # noqa: BLE001
+        extras["sampling_error"] = str(e)[:200]
+
+    # reference-parity model (the architecture torch_baseline.json times)
+    try:
+        extras["refmlp_train_steps_per_sec_epoch_scan"] = \
+            _measure_train_epoch_scan("refmlp")
+        extras["refmlp_vs_torch_cpu"] = (
+            extras["refmlp_train_steps_per_sec_epoch_scan"] / baseline
+            if baseline == baseline else None)
+    except Exception as e:  # noqa: BLE001
+        extras["refmlp_error"] = str(e)[:200]
+    try:
+        extras["condunet_train_steps_per_sec_per_dispatch"] = \
+            _measure_train("condunet", steps=20, warmup=4)
+    except Exception as e:  # noqa: BLE001
+        extras["per_dispatch_error"] = str(e)[:200]
+    # bf16 compute dtype (params stay f32) — the MXU-native train path
+    try:
+        extras["condunet_train_steps_per_sec_bf16"] = \
+            _measure_train_epoch_scan("condunet", n_pool=512, repeats=2,
+                                      dtype="bfloat16")
+    except Exception as e:  # noqa: BLE001
+        extras["bf16_error"] = str(e)[:200]
 
     record = {
-        "metric": "ref-grid conditional denoiser train steps/sec/chip",
+        "metric": "U-Net denoiser (CondUNet) train steps/sec/chip, ref grid",
         "value": round(headline, 3),
         "unit": "steps/s",
         "vs_baseline": round(headline / baseline, 3)
         if baseline == baseline else None,
-        **{k: (round(v, 3) if isinstance(v, float) else v)
+        **{k: (round(v, 6) if isinstance(v, float) else v)
            for k, v in extras.items()},
     }
     print(json.dumps(record))

@@ -223,3 +223,27 @@ def test_flash_cross_attention_padded_matches_reference():
     out = flash_cross_attention_interpret(q, k, v, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_gn_silu_conv3_fused_backward_matches_reference():
+    """Fused Pallas GN+SiLU+conv3 backward (interpreter) == autodiff of
+    the XLA composition: dx, dgamma, dbeta, dW, db."""
+    from ertdx.ops.conv import (gn_silu_conv3_backward_interpret,
+                                reference_gn_silu_conv3)
+    rng = np.random.default_rng(5)
+    B, L, C, CO, G = 2, 40, 32, 48, 8
+    x = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, C), jnp.float32)
+    beta = jnp.asarray(rng.normal(size=C), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, C, CO)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=CO) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, L, CO)), jnp.float32)
+
+    got = gn_silu_conv3_backward_interpret(x, gamma, beta, w, b, g, G)
+    _, vjp = jax.vjp(lambda *a: reference_gn_silu_conv3(*a, G),
+                     x, gamma, beta, w, b)
+    want = vjp(g)
+    names = ("dx", "dgamma", "dbeta", "dw", "db")
+    for nm, a, r in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=nm)
