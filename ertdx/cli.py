@@ -41,6 +41,10 @@ def _load_cfg(args) -> "configs.ExperimentConfig":
         model_overrides["name"] = args.model
     if getattr(args, "dtype", None):
         model_overrides["dtype"] = args.dtype
+    if getattr(args, "cond_length", None) is not None:
+        model_overrides["cond_length"] = args.cond_length
+    if getattr(args, "cond_channels", None) is not None:
+        model_overrides["cond_channels"] = args.cond_channels
     if model_overrides:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, **model_overrides))
@@ -235,6 +239,18 @@ def cmd_plot(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from .serve import PosteriorService, serve
+    cfg = _load_cfg(args)
+    svc = PosteriorService(args.checkpoint_dir, cfg,
+                           max_batch=args.max_batch)
+    if args.warmup:
+        print("compiling serving program...", flush=True)
+        svc.warmup(n_realizations=args.realizations, scfg=cfg.sample)
+    serve(svc, host=args.host, port=args.port)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     return subprocess.call([sys.executable,
@@ -345,6 +361,21 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--conditional", required=True)
     pl.add_argument("--out-dir", default="figures")
     pl.set_defaults(fn=cmd_plot)
+
+    sv = sub.add_parser("serve", help="posterior-inversion HTTP service "
+                                      "over a checkpoint")
+    sv.add_argument("--checkpoint-dir", required=True)
+    sv.add_argument("--preset", default="ref_default")
+    sv.add_argument("--model", choices=["refmlp", "condunet"], default=None)
+    sv.add_argument("--cond-length", type=int, default=None)
+    sv.add_argument("--cond-channels", type=int, default=None)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8337)
+    sv.add_argument("--max-batch", type=int, default=8)
+    sv.add_argument("--realizations", type=int, default=50)
+    sv.add_argument("--warmup", action="store_true",
+                    help="compile the serving program before listening")
+    sv.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="run the benchmark harness")
     b.set_defaults(fn=cmd_bench)

@@ -1,2 +1,4 @@
-from .attention import flash_attention, reference_attention  # noqa: F401
+from .attention import (flash_attention, flash_cross_attention,  # noqa: F401
+                        reference_attention)
+from .conv import gn_silu_conv3, reference_gn_silu_conv3  # noqa: F401
 from .groupnorm import groupnorm_silu, reference_groupnorm_silu  # noqa: F401

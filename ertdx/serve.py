@@ -1,0 +1,179 @@
+"""Deployment surface: posterior-inversion service over a checkpoint.
+
+The reference stops at notebook-style scripts that write .npy files
+(ERT_Conditional_Diffusion.py:1036-1086); production use needs a
+long-lived process that loads the best checkpoint once, keeps the jitted
+ensemble warm, and answers inversion requests. This module provides
+
+  * PosteriorService — checkpoint in, physical posterior out:
+    raw ERT (B, L, C) -> MinMax scale (the checkpointed ert_scaler)
+    -> conditional posterior ensemble -> sigmoid + param_scaler inverse
+    -> bounds mask + summary statistics. Requests are padded to a fixed
+    batch so every call hits ONE compiled program (static shapes).
+  * serve()/make_server() — a stdlib ThreadingHTTPServer JSON API
+    (no extra dependencies):  GET /healthz, POST /posterior.
+
+CLI: `ertdiff serve --checkpoint-dir ckpt [--port 8337]`.
+"""
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import data as data_lib
+from .configs import ExperimentConfig, SampleConfig
+from .diffusion import get_diffusion_schedule
+from .models import build_model
+from .params import ParameterSpace
+from .sample import inverse_pipeline, posterior_ensemble
+from .train import load_best_model
+
+
+class PosteriorService:
+    """Loads a checkpoint once; answers posterior-inversion queries.
+
+    max_batch fixes the compiled batch shape — smaller requests are
+    zero-padded and sliced (one compilation per (max_batch,
+    n_realizations, sampler) combination, cached by ertdx.sample).
+    """
+
+    def __init__(self, checkpoint_dir: str, cfg: ExperimentConfig,
+                 max_batch: int = 8, mesh=None):
+        self.cfg = cfg
+        self.max_batch = int(max_batch)
+        self.mesh = mesh
+        state, meta, scalers = load_best_model(checkpoint_dir, cfg)
+        self.params = state.ema_params if (
+            cfg.train.ema_decay > 0.0 and state.ema_params is not None
+        ) else state.params
+        self.meta = {k: meta[k] for k in ("epoch", "best_val_loss", "model")
+                     if k in meta}
+        self.param_scaler = scalers["param_scaler"]
+        self.ert_scaler = scalers["ert_scaler"]
+        self.model = build_model(cfg.model)
+        self.schedule = get_diffusion_schedule(cfg.diffusion.T)
+        self.space = ParameterSpace()
+        self._lock = threading.Lock()  # jit cache + device arrays
+
+    def _scale_conditions(self, ert: np.ndarray) -> np.ndarray:
+        n, length, ch = ert.shape
+        flat = self.ert_scaler.transform(ert.reshape(n, -1))
+        return np.asarray(flat, np.float32).reshape(n, length, ch)
+
+    def posterior(self, ert: np.ndarray, n_realizations: int = 50,
+                  scfg: Optional[SampleConfig] = None, seed: int = 0,
+                  return_draws: bool = False) -> dict:
+        """Raw ERT (B, L, C) -> physical posterior stats (+draws)."""
+        ert = np.asarray(ert, np.float32)
+        if ert.ndim != 3:
+            raise ValueError(f"conditions must be (B, L, C), got {ert.shape}")
+        b = ert.shape[0]
+        if b > self.max_batch:
+            raise ValueError(f"batch {b} exceeds max_batch {self.max_batch}")
+        cond = self._scale_conditions(ert)
+        if b < self.max_batch:                      # static-shape padding
+            pad = np.zeros((self.max_batch - b,) + cond.shape[1:],
+                           np.float32)
+            cond = np.concatenate([cond, pad], axis=0)
+        with self._lock:
+            u = posterior_ensemble(
+                self.model, self.params, jnp.asarray(cond), self.schedule,
+                jax.random.key(seed), n_realizations=n_realizations,
+                scfg=scfg, mesh=self.mesh)
+        phys, mask = inverse_pipeline(np.asarray(u)[:, :b],
+                                      self.param_scaler, space=self.space)
+        out = {
+            "mean": phys.mean(axis=0).tolist(),
+            "std": phys.std(axis=0).tolist(),
+            "p25": np.percentile(phys, 25, axis=0).tolist(),
+            "p50": np.percentile(phys, 50, axis=0).tolist(),
+            "p75": np.percentile(phys, 75, axis=0).tolist(),
+            "valid_fraction": float(mask.mean()),
+            "n_realizations": int(n_realizations),
+            "param_names": list(self.space.names),
+        }
+        if return_draws:
+            out["draws"] = phys.tolist()
+            out["valid"] = mask.tolist()
+        return out
+
+    def warmup(self, n_realizations: int = 50,
+               scfg: Optional[SampleConfig] = None) -> None:
+        """Compile the serving program before the first request."""
+        dummy = np.zeros((1, self.cfg.model.cond_length,
+                          self.cfg.model.cond_channels), np.float32)
+        self.posterior(dummy, n_realizations=n_realizations, scfg=scfg)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: PosteriorService = None  # injected by make_server
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def do_GET(self):  # noqa: N802 — http.server API
+        if self.path == "/healthz":
+            self._reply(200, {"status": "ok", **self.service.meta})
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/posterior":
+            self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n))
+            ert = np.asarray(req["conditions"], np.float32)
+            scfg = None
+            if "sampler" in req or "ddim_steps" in req:
+                scfg = SampleConfig(
+                    sampler=req.get("sampler", "ancestral"),
+                    ddim_steps=int(req.get("ddim_steps", 50)),
+                    ddim_eta=float(req.get("ddim_eta", 0.0)),
+                    temperature=float(req.get("temperature", 1.0)))
+            out = self.service.posterior(
+                ert, n_realizations=int(req.get("n_realizations", 50)),
+                scfg=scfg, seed=int(req.get("seed", 0)),
+                return_draws=bool(req.get("return_draws", False)))
+            self._reply(200, out)
+        except (KeyError, ValueError, TypeError) as e:
+            self._reply(400, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — keep the server alive
+            self._reply(500, {"error": str(e)})
+
+
+def make_server(service: PosteriorService, host: str = "127.0.0.1",
+                port: int = 8337) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server — callers own its thread."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(service: PosteriorService, host: str = "127.0.0.1",
+          port: int = 8337) -> None:
+    """Blocking serve loop (Ctrl-C to stop)."""
+    server = make_server(service, host, port)
+    print(f"ertdx posterior service on http://{host}:{server.server_port} "
+          f"(model={service.meta.get('model')}, "
+          f"best_val={service.meta.get('best_val_loss')})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()

@@ -59,6 +59,10 @@ def main(argv=None) -> int:
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--params"), ap.add_argument("--ert")
     ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--model", default="refmlp",
+                    choices=["refmlp", "condunet"],
+                    help="refmlp = reference-parity arch; condunet = "
+                         "flagship (better eps-MSE at the same budget)")
     ap.add_argument("--realizations", type=int, default=50)
     ap.add_argument("--pflotran", default=None)
     ap.add_argument("--template", default=None)
@@ -81,8 +85,8 @@ def main(argv=None) -> int:
     # ---- 2. train ----------------------------------------------------------
     l, c = ds.cond_shape
     cfg = configs.ExperimentConfig(
-        model=dataclasses.replace(configs.ModelConfig(), cond_length=l,
-                                  cond_channels=c),
+        model=dataclasses.replace(configs.ModelConfig(), name=args.model,
+                                  cond_length=l, cond_channels=c),
         train=dataclasses.replace(configs.TrainConfig(),
                                   num_epochs=args.epochs,
                                   checkpoint_dir=str(out / "ckpt")))

@@ -1,0 +1,102 @@
+"""Posterior-inversion service: checkpoint -> HTTP JSON round trip.
+
+The reference has no serving story (scripts end at .npy files,
+ERT_Conditional_Diffusion.py:1036-1086); this is a new-framework
+capability (STATUS.md / SURVEY.md §5 production axis).
+"""
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from ertdx import configs, data as data_lib
+from ertdx.serve import PosteriorService, make_server
+from ertdx.train import train
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    import dataclasses
+
+    from ertdx.doe import SurrogateDataGenerator
+
+    tmp = tmp_path_factory.mktemp("serve_ckpt")
+    params_phys = SurrogateDataGenerator(seed=3).generate_training_samples(
+        64, "sobol")
+    rng = np.random.default_rng(3)
+    ert = rng.normal(50.0, 10.0, size=(64, 96, 4)).astype(np.float32)
+    ds = data_lib.prepare_dataset(params_phys[..., None], ert)
+    cfg = configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=10),
+        model=dataclasses.replace(configs.ModelConfig(), cond_length=96,
+                                  cond_channels=4),
+        train=dataclasses.replace(configs.TrainConfig(), num_epochs=3,
+                                  batch_size=16,
+                                  checkpoint_dir=str(tmp / "ckpt"),
+                                  log_every=100))
+    train(cfg, ds)
+    return str(tmp / "ckpt"), cfg, ert
+
+
+def test_posterior_service_direct(trained_ckpt):
+    ckpt, cfg, ert = trained_ckpt
+    svc = PosteriorService(ckpt, cfg, max_batch=4)
+    out = svc.posterior(ert[:3], n_realizations=5, seed=1)
+    assert np.asarray(out["mean"]).shape == (3, 29)
+    assert np.asarray(out["p50"]).shape == (3, 29)
+    assert len(out["param_names"]) == 29
+    assert 0.0 <= out["valid_fraction"] <= 1.0
+    # physical draws land inside (or get masked against) the real bounds
+    out2 = svc.posterior(ert[:2], n_realizations=4, seed=1,
+                         return_draws=True)
+    draws = np.asarray(out2["draws"])
+    assert draws.shape == (4, 2, 29)
+    # same seed -> deterministic response
+    out3 = svc.posterior(ert[:2], n_realizations=4, seed=1,
+                         return_draws=True)
+    np.testing.assert_array_equal(draws, np.asarray(out3["draws"]))
+    # over-max batch is a clean error, not a recompile
+    with pytest.raises(ValueError):
+        svc.posterior(ert[:5], n_realizations=2)
+
+
+def test_posterior_service_http(trained_ckpt):
+    ckpt, cfg, ert = trained_ckpt
+    svc = PosteriorService(ckpt, cfg, max_batch=4)
+    server = make_server(svc, port=0)          # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1",
+                                          server.server_port, timeout=120)
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert json.loads(r.read())["status"] == "ok"
+
+        body = json.dumps({"conditions": ert[:2].tolist(),
+                           "n_realizations": 4, "seed": 2,
+                           "sampler": "ddim", "ddim_steps": 5})
+        conn.request("POST", "/posterior", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200, r.read()
+        out = json.loads(r.read())
+        assert np.asarray(out["mean"]).shape == (2, 29)
+        assert out["n_realizations"] == 4
+
+        # malformed request -> 400, server stays alive
+        conn.request("POST", "/posterior", body=json.dumps({"nope": 1}),
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        _ = r.read()
+        assert r.status == 400
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        _ = r.read()
+        assert r.status == 200
+    finally:
+        server.shutdown()
+        server.server_close()
