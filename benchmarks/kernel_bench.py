@@ -132,6 +132,43 @@ def bench_gnconv(b=32, l=587, c=128, co=128, groups=8):
     return out
 
 
+def bench_ensemble_attn(n=32000, p=29, bcond=32, lk=147, d=128):
+    """Fused ensemble-core attention vs XLA at the configs[3] shapes:
+    32,000 chains x 29 tokens (self) and 32 conditions x 29,000 folded
+    queries vs ~147 condition tokens (cross)."""
+    from ertdx.ops.ensemble_attn import (_cross_reference, _self_reference,
+                                         block_self_attention,
+                                         folded_cross_attention)
+    out = {}
+    qs = jax.random.normal(jax.random.key(40), (n, p, d))
+    ks = jax.random.normal(jax.random.key(41), (n, p, d))
+    vs = jax.random.normal(jax.random.key(42), (n, p, d))
+    for name, fn in (("pallas", block_self_attention),
+                     ("xla", _self_reference)):
+        def make(fn=fn):
+            def body(key):
+                q = qs + 1e-9 * jax.random.normal(key, (1, 1, d))
+                return jnp.mean(fn(q, ks, vs))
+            return body
+        out[f"ens_self_{n}x{p}x{d}_{name}_ms"] = scan_time(
+            make, n_iter=8) * 1e3
+
+    lq = (n // bcond) * p
+    qc = jax.random.normal(jax.random.key(43), (bcond, lq, d))
+    kc = jax.random.normal(jax.random.key(44), (bcond, lk, d))
+    vc = jax.random.normal(jax.random.key(45), (bcond, lk, d))
+    for name, fn in (("pallas", folded_cross_attention),
+                     ("xla", _cross_reference)):
+        def make(fn=fn):
+            def body(key):
+                q = qc + 1e-9 * jax.random.normal(key, (1, 1, d))
+                return jnp.mean(fn(q, kc, vc))
+            return body
+        out[f"ens_cross_{bcond}x{lq}x{lk}_{name}_ms"] = scan_time(
+            make, n_iter=8) * 1e3
+    return out
+
+
 def main():
     record = {"backend": jax.default_backend()}
     record.update(bench_attention())
@@ -139,6 +176,7 @@ def main():
     record.update(bench_gnconv(b=32, l=587, c=128, co=128))
     record.update(bench_gnconv(b=32, l=294, c=256, co=256))
     record.update(bench_gnconv(b=32, l=587, c=256, co=256))
+    record.update(bench_ensemble_attn())
     print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
                       for k, v in record.items()}, indent=2))
 

@@ -39,6 +39,11 @@ class ModelConfig:
     pallas_conv: bool = False      # pallas fused GN+SiLU+conv3 in the
                                    # encoder ResBlocks (A/B in
                                    # benchmarks/kernel_bench.py)
+    ensemble_pallas: bool = False  # fused ensemble-core attention pair
+                                   # (block-diagonal self-attn + folded
+                                   # cross-attn, ops/ensemble_attn.py) at
+                                   # >=1024 chains; opt-in while the XLA
+                                   # path measures ahead (ensemble_ab.py)
     dtype: str = "float32"         # condunet compute dtype ("bfloat16"
                                    # for MXU-native training; params f32)
 

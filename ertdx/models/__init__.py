@@ -30,6 +30,7 @@ def build_model(cfg: ModelConfig):
                         use_pallas=cfg.use_pallas,
                         pallas_gn=cfg.pallas_gn,
                         pallas_conv=cfg.pallas_conv,
+                        ensemble_pallas=cfg.ensemble_pallas,
                         dtype=jnp.dtype(cfg.dtype))
     raise ValueError(f"unknown model {cfg.name!r}")
 

@@ -31,6 +31,10 @@ from flax import linen as nn
 
 from ..ops.attention import flash_attention, reference_attention
 from ..ops.conv import gn_silu_conv3
+from ..ops.ensemble_attn import (block_self_attention,
+                                 block_self_attention_ok,
+                                 folded_cross_attention,
+                                 folded_cross_attention_ok)
 from ..ops.groupnorm import groupnorm_silu
 from .common import get_timestep_embedding
 
@@ -233,9 +237,19 @@ class CoreBlock(nn.Module):
     checkpoints are interchangeable. The folded cross-attention uses XLA
     attention: the padded flash kernel measured SLOWER here (129 vs 85.6
     ms/step — tiny kv at HIGHEST precision), so Pallas stays for the
-    encoder's long sequences where it wins."""
+    encoder's long sequences where it wins.
+
+    `ensemble_pallas` engages the fused ensemble kernels
+    (ops/ensemble_attn.py) once the chain count clears
+    `ensemble_min_chains`: block-diagonal Pallas self-attention over the
+    chains and a VMEM-resident folded cross-attention — the XLA paths
+    above materialize every lane-padded (.., 29)/(.., ~147) logit tensor
+    in HBM, which the measured ablation puts at ~74 of the 85.6 ms
+    configs[3] step."""
 
     num_heads: int = 1
+    ensemble_pallas: bool = False
+    ensemble_min_chains: int = 1024
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -253,12 +267,19 @@ class CoreBlock(nn.Module):
 
         dense = lambda feats, **kw: nn.Dense(feats, dtype=self.dtype, **kw)
 
-        # self-attention over the P parameter tokens (tiny: XLA path).
+        fused = (self.ensemble_pallas and self.num_heads == 1
+                 and fold > 1 and b >= self.ensemble_min_chains)
+
+        # self-attention over the P parameter tokens (XLA when small;
+        # fused block-diagonal Pallas at ensemble chain counts).
         # qkv fused into one matmul — the core is small-op-count-bound
         h = AdaLN(self.dtype)(x, cvec)
         q, k, v = jnp.split(dense(3 * d, use_bias=False)(h), 3, axis=-1)
-        a = reference_attention(heads(q), heads(k), heads(v))
-        a = unheads(a).reshape(b, p, d)
+        if fused and block_self_attention_ok(b, p, d):
+            a = block_self_attention(q, k, v)
+        else:
+            a = reference_attention(heads(q), heads(k), heads(v))
+            a = unheads(a).reshape(b, p, d)
         x = x + dense(d, kernel_init=nn.initializers.zeros)(a)
 
         # cross-attention to the condition tokens (fused kv projection)
@@ -269,8 +290,12 @@ class CoreBlock(nn.Module):
             q = q.reshape(bc, fold * p, d)   # condition-major: free view
         k, v = jnp.split(dense(2 * d, use_bias=False)(cond_tokens), 2,
                          axis=-1)
-        a = reference_attention(heads(q), heads(k), heads(v))
-        a = unheads(a).reshape(b, p, d)
+        if fused and folded_cross_attention_ok(bc, fold * p,
+                                               k.shape[1], d):
+            a = folded_cross_attention(q, k, v).reshape(b, p, d)
+        else:
+            a = reference_attention(heads(q), heads(k), heads(v))
+            a = unheads(a).reshape(b, p, d)
         x = x + dense(d, kernel_init=nn.initializers.zeros)(a)
 
         # MLP
@@ -296,6 +321,10 @@ class CondUNet(nn.Module):
                                  # fused GN across widths; XLA default
     pallas_conv: bool = False    # fused GN+SiLU+conv3 encoder kernel
                                  # (dispatch per benchmarks/kernel_bench.py)
+    ensemble_pallas: bool = False  # fused block-diagonal self-attn +
+                                   # VMEM-resident folded cross-attn at
+                                   # ensemble chain counts (ensemble_attn);
+                                   # opt-in pending a measured win
     dtype: Any = jnp.float32     # compute dtype (params stay f32);
                                  # jnp.bfloat16 for MXU-native training
 
@@ -311,7 +340,9 @@ class CondUNet(nn.Module):
             (self.param_dim, self.hidden_dim))
         self.time_mlp1 = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.time_mlp2 = nn.Dense(self.hidden_dim, dtype=self.dtype)
-        self.blocks = [CoreBlock(self.core_heads, self.dtype)
+        self.blocks = [CoreBlock(num_heads=self.core_heads,
+                                 ensemble_pallas=self.ensemble_pallas,
+                                 dtype=self.dtype)
                        for _ in range(self.num_blocks)]
         self.out_norm = nn.LayerNorm()  # final norm + head stay f32
         self.head = nn.Dense(1, kernel_init=nn.initializers.zeros)

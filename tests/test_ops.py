@@ -247,3 +247,67 @@ def test_gn_silu_conv3_fused_backward_matches_reference():
     for nm, a, r in zip(names, got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=2e-4, atol=2e-4, err_msg=nm)
+
+
+# ---------------------------------------------------------------------------
+# fused ensemble-core attention (ops/ensemble_attn.py)
+# ---------------------------------------------------------------------------
+
+def test_block_self_attention_kernel_matches_reference_interpret():
+    """Block-diagonal per-chain self-attention == per-chain XLA attention.
+
+    Shapes cover the configs[3] layout (P=29 parameter tokens, D=128) and
+    a non-29 P to pin the any-P sublane packing (8*P rows per chunk)."""
+    from ertdx.ops.ensemble_attn import (_self_reference,
+                                         block_self_attention_interpret)
+    for n, p in ((32, 29), (16, 5), (8, 29)):
+        kq, kk, kv = jax.random.split(jax.random.fold_in(
+            jax.random.key(7), n), 3)
+        q = jax.random.normal(kq, (n, p, 128))
+        k = jax.random.normal(kk, (n, p, 128))
+        v = jax.random.normal(kv, (n, p, 128))
+        out = block_self_attention_interpret(q, k, v)
+        ref = _self_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_folded_cross_attention_kernel_matches_reference_interpret():
+    """VMEM-resident folded cross-attention == XLA attention, including
+    the key padding/masking at a non-aligned Lk (147 condition tokens)."""
+    from ertdx.ops.ensemble_attn import (_cross_reference,
+                                         folded_cross_attention_interpret)
+    for b, lq, lk in ((4, 40, 19), (2, 29 * 8, 147)):
+        kq, kk, kv = jax.random.split(jax.random.fold_in(
+            jax.random.key(8), lq), 3)
+        q = jax.random.normal(kq, (b, lq, 128))
+        k = jax.random.normal(kk, (b, lk, 128))
+        v = jax.random.normal(kv, (b, lk, 128))
+        out = folded_cross_attention_interpret(q, k, v)
+        ref = _cross_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_ensemble_attention_grads_fall_back():
+    """The sampling-path kernels carry a recompute VJP: differentiating
+    through them must match differentiating the XLA reference."""
+    from ertdx.ops.ensemble_attn import (_cross_reference, _self_reference,
+                                         block_self_attention,
+                                         folded_cross_attention)
+    kq, kk, kv = jax.random.split(jax.random.key(9), 3)
+    q = jax.random.normal(kq, (8, 5, 128))
+    k = jax.random.normal(kk, (8, 5, 128))
+    v = jax.random.normal(kv, (8, 5, 128))
+    g1 = jax.grad(lambda a: jnp.sum(block_self_attention(a, k, v) ** 2))(q)
+    g2 = jax.grad(lambda a: jnp.sum(_self_reference(a, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
+    kc = jax.random.normal(kk, (8, 11, 128))
+    vc = jax.random.normal(kv, (8, 11, 128))
+    qc = jax.random.normal(kq, (8, 40, 128))
+    g1 = jax.grad(lambda a: jnp.sum(folded_cross_attention(a, kc, vc) ** 2)
+                  )(qc)
+    g2 = jax.grad(lambda a: jnp.sum(_cross_reference(a, kc, vc) ** 2))(qc)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
