@@ -143,29 +143,37 @@ def bench_ensemble_attn(n=32000, p=29, bcond=32, lk=147, d=128):
     qs = jax.random.normal(jax.random.key(40), (n, p, d))
     ks = jax.random.normal(jax.random.key(41), (n, p, d))
     vs = jax.random.normal(jax.random.key(42), (n, p, d))
-    for name, fn in (("pallas", block_self_attention),
-                     ("xla", _self_reference)):
-        def make(fn=fn):
-            def body(key):
-                q = qs + 1e-9 * jax.random.normal(key, (1, 1, d))
-                return jnp.mean(fn(q, ks, vs))
-            return body
-        out[f"ens_self_{n}x{p}x{d}_{name}_ms"] = scan_time(
-            make, n_iter=8) * 1e3
-
     lq = (n // bcond) * p
     qc = jax.random.normal(jax.random.key(43), (bcond, lq, d))
     kc = jax.random.normal(jax.random.key(44), (bcond, lk, d))
     vc = jax.random.normal(jax.random.key(45), (bcond, lk, d))
-    for name, fn in (("pallas", folded_cross_attention),
-                     ("xla", _cross_reference)):
-        def make(fn=fn):
-            def body(key):
-                q = qc + 1e-9 * jax.random.normal(key, (1, 1, d))
-                return jnp.mean(fn(q, kc, vc))
-            return body
-        out[f"ens_cross_{bcond}x{lq}x{lk}_{name}_ms"] = scan_time(
-            make, n_iter=8) * 1e3
+
+    def record(tag, make):
+        # incremental flush: a hung Mosaic compile must not lose the
+        # entries already measured (XLA entries run first for the same
+        # reason — they never touch the flaky remote Mosaic compiler)
+        out[tag] = scan_time(make, n_iter=8) * 1e3
+        print(json.dumps({tag: round(out[tag], 3)}), flush=True)
+
+    def make_self(fn):
+        def body(key):
+            q = qs + 1e-9 * jax.random.normal(key, (1, 1, d))
+            return jnp.mean(fn(q, ks, vs))
+        return lambda: body
+
+    def make_cross(fn):
+        def body(key):
+            q = qc + 1e-9 * jax.random.normal(key, (1, 1, d))
+            return jnp.mean(fn(q, kc, vc))
+        return lambda: body
+
+    record(f"ens_self_{n}x{p}x{d}_xla_ms", make_self(_self_reference))
+    record(f"ens_cross_{bcond}x{lq}x{lk}_xla_ms",
+           make_cross(_cross_reference))
+    record(f"ens_self_{n}x{p}x{d}_pallas_ms",
+           make_self(block_self_attention))
+    record(f"ens_cross_{bcond}x{lq}x{lk}_pallas_ms",
+           make_cross(folded_cross_attention))
     return out
 
 

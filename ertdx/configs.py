@@ -42,8 +42,12 @@ class ModelConfig:
     ensemble_pallas: bool = False  # fused ensemble-core attention pair
                                    # (block-diagonal self-attn + folded
                                    # cross-attn, ops/ensemble_attn.py) at
-                                   # >=1024 chains; opt-in while the XLA
-                                   # path measures ahead (ensemble_ab.py)
+                                   # >=ensemble_min_chains; opt-in while
+                                   # the XLA path measures ahead
+                                   # (ensemble_ab.py)
+    ensemble_min_chains: int = 1024  # chain-count gate for the fused
+                                     # ensemble kernels (below it the
+                                     # XLA path wins outright)
     dtype: str = "float32"         # condunet compute dtype ("bfloat16"
                                    # for MXU-native training; params f32)
 

@@ -31,6 +31,7 @@ def build_model(cfg: ModelConfig):
                         pallas_gn=cfg.pallas_gn,
                         pallas_conv=cfg.pallas_conv,
                         ensemble_pallas=cfg.ensemble_pallas,
+                        ensemble_min_chains=cfg.ensemble_min_chains,
                         dtype=jnp.dtype(cfg.dtype))
     raise ValueError(f"unknown model {cfg.name!r}")
 

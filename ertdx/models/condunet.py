@@ -325,6 +325,7 @@ class CondUNet(nn.Module):
                                    # VMEM-resident folded cross-attn at
                                    # ensemble chain counts (ensemble_attn);
                                    # opt-in pending a measured win
+    ensemble_min_chains: int = 1024  # chain count gate for the fused path
     dtype: Any = jnp.float32     # compute dtype (params stay f32);
                                  # jnp.bfloat16 for MXU-native training
 
@@ -342,6 +343,7 @@ class CondUNet(nn.Module):
         self.time_mlp2 = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.blocks = [CoreBlock(num_heads=self.core_heads,
                                  ensemble_pallas=self.ensemble_pallas,
+                                 ensemble_min_chains=self.ensemble_min_chains,
                                  dtype=self.dtype)
                        for _ in range(self.num_blocks)]
         self.out_norm = nn.LayerNorm()  # final norm + head stay f32

@@ -205,3 +205,44 @@ def test_posterior_ensemble_condition_major_grouping():
     assert not np.allclose(np.asarray(u3[:, 0]), np.asarray(u[:, 0]))
     np.testing.assert_allclose(np.asarray(u3[:, 1:]), np.asarray(u[:, 1:]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_condunet_fused_ensemble_path_matches_xla(monkeypatch):
+    """The fused ensemble-attention dispatch (ops/ensemble_attn.py), forced
+    on via interpreter-mode kernels, must reproduce the XLA path through
+    the FULL denoise_ensemble — pins the fold reshapes, the block-diagonal
+    masking, and the kv padding end-to-end (on TPU the gate picks this
+    path automatically at ensemble chain counts)."""
+    from ertdx.models import condunet as cu
+    from ertdx.ops.ensemble_attn import (block_self_attention_interpret,
+                                         folded_cross_attention_interpret)
+
+    def build(ensemble_pallas):
+        return cu.CondUNet(param_dim=29, hidden_dim=32, cond_channels=4,
+                           base_width=16, depth=2, num_blocks=2,
+                           num_heads=2, core_heads=1,
+                           ensemble_pallas=ensemble_pallas,
+                           ensemble_min_chains=1)
+
+    rng = np.random.default_rng(5)
+    B, R, P = 4, 8, 29
+    cond = jnp.asarray(rng.normal(size=(B, 96, 4)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B * R, P)), jnp.float32)
+    t = jnp.asarray(rng.integers(0, 10, size=(B * R,)), jnp.int32)
+    model = build(False)
+    variables = model.init(jax.random.key(0), x[:B], t[:B], cond)
+    ctx = model.apply(variables, cond, method=model.encode_condition)
+    out_xla = model.apply(variables, x, t, ctx, R,
+                          method=model.denoise_ensemble)
+
+    monkeypatch.setattr(cu, "block_self_attention",
+                        block_self_attention_interpret)
+    monkeypatch.setattr(cu, "folded_cross_attention",
+                        folded_cross_attention_interpret)
+    monkeypatch.setattr(cu, "block_self_attention_ok", lambda *a: True)
+    monkeypatch.setattr(cu, "folded_cross_attention_ok", lambda *a: True)
+    fused = build(True)
+    out_fused = fused.apply(variables, x, t, ctx, R,
+                            method=fused.denoise_ensemble)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                               rtol=2e-5, atol=2e-5)
