@@ -17,24 +17,29 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def scan_time(make_body, n_iter=32, repeats=3):
-    """Median seconds per body execution, scan-amortized + host-synced."""
+def scan_time(make_body, n_iter=32, repeats=3, args=()):
+    """Median seconds per body execution, scan-amortized + host-synced.
+
+    Large operand arrays MUST come in via `args` (threaded through jit as
+    real arguments) — a body that closes over device slabs ships them as
+    compiled-program constants, which this host's remote backend rejects
+    or slows by orders of magnitude (CLAUDE.md "Environment quirks")."""
     body = make_body()
 
     @jax.jit
-    def run(key):
+    def run(key, *ops):
         def step(c, k):
-            return c, body(k)
+            return c, body(k, *ops)
         keys = jax.random.split(key, n_iter)
         _, outs = jax.lax.scan(step, None, keys)
         return outs
 
-    o = run(jax.random.key(0))
+    o = run(jax.random.key(0), *args)
     _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
-        o = run(jax.random.key(1 + i))
+        o = run(jax.random.key(1 + i), *args)
         _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
         times.append((time.perf_counter() - t0) / n_iter)
     return sorted(times)[len(times) // 2]
@@ -148,32 +153,28 @@ def bench_ensemble_attn(n=32000, p=29, bcond=32, lk=147, d=128):
     kc = jax.random.normal(jax.random.key(44), (bcond, lk, d))
     vc = jax.random.normal(jax.random.key(45), (bcond, lk, d))
 
-    def record(tag, make):
-        # incremental flush: a hung Mosaic compile must not lose the
-        # entries already measured (XLA entries run first for the same
-        # reason — they never touch the flaky remote Mosaic compiler)
-        out[tag] = scan_time(make, n_iter=8) * 1e3
+    def record(tag, make, ops):
+        # operand slabs go through scan_time(args=...) — at these sizes
+        # (~475 MB each) a closure would ship them as program constants
+        # and hang the remote backend. Incremental flush + XLA first: a
+        # hung Mosaic compile must not lose already-measured entries.
+        out[tag] = scan_time(make, n_iter=8, args=ops) * 1e3
         print(json.dumps({tag: round(out[tag], 3)}), flush=True)
 
-    def make_self(fn):
-        def body(key):
-            q = qs + 1e-9 * jax.random.normal(key, (1, 1, d))
-            return jnp.mean(fn(q, ks, vs))
+    def make_attn(fn):
+        def body(key, q0, k0, v0):
+            q = q0 + 1e-9 * jax.random.normal(key, (1, 1, d))
+            return jnp.mean(fn(q, k0, v0))
         return lambda: body
 
-    def make_cross(fn):
-        def body(key):
-            q = qc + 1e-9 * jax.random.normal(key, (1, 1, d))
-            return jnp.mean(fn(q, kc, vc))
-        return lambda: body
-
-    record(f"ens_self_{n}x{p}x{d}_xla_ms", make_self(_self_reference))
+    record(f"ens_self_{n}x{p}x{d}_xla_ms", make_attn(_self_reference),
+           (qs, ks, vs))
     record(f"ens_cross_{bcond}x{lq}x{lk}_xla_ms",
-           make_cross(_cross_reference))
+           make_attn(_cross_reference), (qc, kc, vc))
     record(f"ens_self_{n}x{p}x{d}_pallas_ms",
-           make_self(block_self_attention))
+           make_attn(block_self_attention), (qs, ks, vs))
     record(f"ens_cross_{bcond}x{lq}x{lk}_pallas_ms",
-           make_cross(folded_cross_attention))
+           make_attn(folded_cross_attention), (qc, kc, vc))
     return out
 
 

@@ -242,10 +242,11 @@ class CoreBlock(nn.Module):
     `ensemble_pallas` engages the fused ensemble kernels
     (ops/ensemble_attn.py) once the chain count clears
     `ensemble_min_chains`: block-diagonal Pallas self-attention over the
-    chains and a VMEM-resident folded cross-attention — the XLA paths
-    above materialize every lane-padded (.., 29)/(.., ~147) logit tensor
-    in HBM, which the measured ablation puts at ~74 of the 85.6 ms
-    configs[3] step."""
+    chains and a VMEM-resident folded cross-attention. MEASURED BEHIND
+    the XLA path at the configs[3] workload (kernels ~0.9x isolated,
+    0.62x end-to-end — the pallas_call boundary breaks fusion of the
+    surrounding projections; DESIGN.md §6), so it stays opt-in as the
+    explicit-kernel path."""
 
     num_heads: int = 1
     ensemble_pallas: bool = False
@@ -324,7 +325,8 @@ class CondUNet(nn.Module):
     ensemble_pallas: bool = False  # fused block-diagonal self-attn +
                                    # VMEM-resident folded cross-attn at
                                    # ensemble chain counts (ensemble_attn);
-                                   # opt-in pending a measured win
+                                   # measured 0.62x vs XLA end-to-end —
+                                   # retired to opt-in (DESIGN.md §6)
     ensemble_min_chains: int = 1024  # chain count gate for the fused path
     dtype: Any = jnp.float32     # compute dtype (params stay f32);
                                  # jnp.bfloat16 for MXU-native training

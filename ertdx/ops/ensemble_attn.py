@@ -5,9 +5,16 @@ chains) = 32,000 independent 29-token attention problems per reverse step
 (the reference instead loops 50 sequential full model calls,
 ERT_Conditional_Diffusion.py:396-412). XLA executes these as batched
 (..., 29, 29) / (..., 29*R, ~147) softmax-attention with every logit
-tensor lane-padded 29->128 and materialized in HBM; the measured ablation
-(docs/DESIGN.md paragraph 6, STATUS.md) puts that traffic at ~41 ms
-(self) + ~33 ms (cross) of the 85.6 ms ensemble step.
+tensor lane-padded 29->128 and materialized in HBM.
+
+STATUS: measured BEHIND the XLA path and retired to opt-in. Isolated at
+the workload shapes the kernels are ~0.9x of XLA (self 10.0 vs 9.2 ms,
+cross 8.8 vs 7.2 ms — XLA's padded softmax is already near its floor
+here), and end-to-end the fused step is 0.62x: the pallas_call boundary
+prevents XLA from fusing the surrounding QKV/output projections. The
+round-1 ablation that motivated these kernels over-attributed relayout
+traffic to the attention itself (DESIGN.md §6 has the full numbers).
+They remain the explicit-kernel path (`ensemble_pallas=True`).
 
 Two kernels keep the logits in VMEM instead:
 
