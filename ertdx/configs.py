@@ -48,6 +48,9 @@ class ModelConfig:
     ensemble_min_chains: int = 1024  # chain-count gate for the fused
                                      # ensemble kernels (below it the
                                      # XLA path wins outright)
+    ensemble_mega: bool = False    # fused-core ensemble sampling: each
+                                   # CoreBlock as ONE Pallas kernel
+                                   # (ops/core_block.py, models/mega.py)
     dtype: str = "float32"         # condunet compute dtype ("bfloat16"
                                    # for MXU-native training; params f32)
 

@@ -32,6 +32,7 @@ def build_model(cfg: ModelConfig):
                         pallas_conv=cfg.pallas_conv,
                         ensemble_pallas=cfg.ensemble_pallas,
                         ensemble_min_chains=cfg.ensemble_min_chains,
+                        ensemble_mega=cfg.ensemble_mega,
                         dtype=jnp.dtype(cfg.dtype))
     raise ValueError(f"unknown model {cfg.name!r}")
 

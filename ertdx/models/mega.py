@@ -1,0 +1,111 @@
+"""Fused-core ensemble denoiser: CondUNet.denoise_ensemble, one kernel/block.
+
+A functional twin of the flax path (condunet.py:365-385) for the
+posterior-ensemble reverse scan, dispatching each CoreBlock to the fused
+Pallas kernel (ops/core_block.py). Everything cheap stays in XLA: the
+time embedding, lift + positional embedding, per-condition AdaLN
+modulations (6 vectors/block), per-condition cross K/V (one small matmul
+per block — cond_tokens are constant across the scan, so XLA hoists or
+re-does ~0.15 GFLOP/step, either is noise), and the final norm + head.
+
+SHARED-T CONTRACT: both samplers call denoise_fn with one t broadcast
+over every chain (ertdx/diffusion.py:96-99,148-151), so the AdaLN
+modulations collapse to per-condition vectors; this module reads t[0]
+and must only be wired through ertdx.sample._ensemble_fn, which owns
+that invariant. Parity vs model.apply(method=denoise_ensemble) is pinned
+in tests/test_ops.py (interpreter mode, exact f32).
+
+Weight extraction matches CoreBlock's @nn.compact naming (blocks_i:
+AdaLN_{0,1,2}/Dense_0, Dense_0 qkv, Dense_1 self-out, Dense_2 cross-q,
+Dense_3 cross-kv, Dense_4 cross-out, Dense_5/Dense_6 MLP), pinned by the
+same parity test.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.core_block import fused_core_block, pick_chunk
+from .common import get_timestep_embedding
+
+_LN_EPS = 1e-6   # flax nn.LayerNorm default
+
+
+def extract_core_weights(params, i: int) -> dict:
+    b = params[f"blocks_{i}"]
+    return {
+        "ada": [(b[f"AdaLN_{j}"]["Dense_0"]["kernel"],
+                 b[f"AdaLN_{j}"]["Dense_0"]["bias"]) for j in range(3)],
+        "wqkv": b["Dense_0"]["kernel"],
+        "wso": b["Dense_1"]["kernel"], "bso": b["Dense_1"]["bias"],
+        "wcq": b["Dense_2"]["kernel"],
+        "wkv": b["Dense_3"]["kernel"],
+        "wco": b["Dense_4"]["kernel"], "bco": b["Dense_4"]["bias"],
+        "w1": b["Dense_5"]["kernel"], "b1": b["Dense_5"]["bias"],
+        "w2": b["Dense_6"]["kernel"], "b2": b["Dense_6"]["bias"],
+    }
+
+
+def mega_plan(model, n_real: int, mesh=None) -> Optional[dict]:
+    """Static-gate the fused-core path; None -> use the flax/XLA path.
+
+    Requires: the flag, a TPU backend, single-head f32 core, lane-aligned
+    hidden dim, a valid chain chunking, and no mesh (the sharded ensemble
+    stays on the GSPMD/XLA path)."""
+    if not getattr(model, "ensemble_mega", False) or mesh is not None:
+        return None
+    if getattr(model, "core_heads", 0) != 1:
+        return None
+    if model.dtype not in (jnp.float32, "float32", float):
+        return None
+    if jax.default_backend() != "tpu" or model.hidden_dim % 128:
+        return None
+    if n_real < getattr(model, "ensemble_min_chains", 1):
+        return None
+    chunk = pick_chunk(n_real, model.param_dim)
+    if chunk == 0:
+        return None
+    return {"p": model.param_dim, "d": model.hidden_dim,
+            "num_blocks": model.num_blocks, "chunk": chunk}
+
+
+def mega_denoise_ensemble(params, x, t, cond_ctx, n_real: int, *, p: int,
+                          d: int, num_blocks: int, chunk: int,
+                          interpret: bool = False):
+    """(B*n_real, P) condition-major chains -> eps_hat, fused core blocks."""
+    cond_tokens, cond_vec = cond_ctx          # (B, Lk, D), (B, D)
+    bsz = cond_tokens.shape[0]
+    n = x.shape[0]
+
+    temb = get_timestep_embedding(t[:1], d)   # shared-t: one row
+    h = jax.nn.silu(temb @ params["time_mlp1"]["kernel"]
+                    + params["time_mlp1"]["bias"])
+    cvec = (h @ params["time_mlp2"]["kernel"]
+            + params["time_mlp2"]["bias"]) + cond_vec      # (B, D)
+    sc = jax.nn.silu(cvec)
+
+    tokens = (x[..., None] @ params["lift"]["kernel"]
+              + params["lift"]["bias"] + params["pos_emb"][None])
+    n_chunks = n_real // chunk
+    x3 = tokens.reshape(bsz * n_chunks, chunk * p, d)      # free view
+
+    for i in range(num_blocks):
+        w = extract_core_weights(params, i)
+        mods = jnp.stack(
+            [m for wk, bk in w["ada"]
+             for m in jnp.split(sc @ wk + bk, 2, axis=-1)],
+            axis=1)                                        # (B, 6, D)
+        k, v = jnp.split(cond_tokens @ w["wkv"], 2, axis=-1)
+        x3 = fused_core_block(x3, mods, k, v, w, p=p, chunk=chunk,
+                              interpret=interpret)
+
+    tokens = x3.reshape(n, p, d)
+    mu = jnp.mean(tokens, axis=-1, keepdims=True)
+    dev = tokens - mu
+    var = jnp.mean(dev * dev, axis=-1, keepdims=True)
+    tokens = (dev * jax.lax.rsqrt(var + _LN_EPS)
+              * params["out_norm"]["scale"] + params["out_norm"]["bias"])
+    return (tokens @ params["head"]["kernel"]
+            + params["head"]["bias"])[..., 0]

@@ -1,0 +1,229 @@
+"""Fused CoreBlock kernel: one pallas_call per denoiser block (sampling).
+
+Why a block-level kernel after the per-op pair lost (DESIGN.md §6): the
+XLA ensemble step materializes ~30 GB of (..., 29)/(..., 147) lane-padded
+intermediates per reverse step, but replacing ONLY the attention ops with
+Pallas was 0.62x end-to-end — the pallas_call boundary broke XLA's fusion
+of the surrounding projections, and per-kernel XLA was already at its
+padded-softmax floor. This kernel moves the boundary to the whole
+CoreBlock (ertdx/models/condunet.py:219-307): AdaLN -> block-diagonal
+self-attention -> AdaLN -> folded cross-attention -> AdaLN -> MLP, all
+three residual adds included, so per block the HBM traffic is exactly
+x-in + x-out + (weights + per-condition K/V, fetched once — their
+BlockSpec index maps are constant in the minor grid dim).
+
+Layout: chains are condition-major (chain = b*R + r). The caller reshapes
+(N, P, D) -> (B*n_chunks, chunk*P, D) (a free view) and runs a
+(B, n_chunks) grid; program (b, j) owns `chunk` chains of condition b.
+Self-attention runs per tile of 8 chains — an (8P, 8P) logit tile masked
+block-diagonally, computed with per-tile qkv so no slab-wide q/k/v ever
+exists — or one whole-chunk tile when chunk <= MAX_SINGLE_TILE (covers
+realization counts not divisible by 8, e.g. the reference's R=50 via
+chunk=10). Cross-attention and the MLP run on the whole slab: every row
+attends the SAME per-condition K/V (Lk ~147 condition tokens, lane-padded
+to 128s and column-masked exactly like ops/ensemble_attn.py).
+
+Numerics: every in-kernel matmul runs bf16_3x via an explicit hi/lo
+operand split (see _dot) — 1.3e-5/matmul, i.e. MORE accurate than the
+XLA path's single-pass DEFAULT (2.2e-3/matmul, which accumulates to a
+measured 1.3e-2 divergence between two *equivalent XLA programs* of this
+very model). LayerNorm eps 1e-6 (flax default), tanh-approximate GELU
+(flax nn.gelu); benchmarks/mega_ab.py gates the end-to-end error against
+the platform's own equivalence floor.
+Shared-t contract: the AdaLN scale/shift vectors arrive per CONDITION
+(B, 6, D) — valid because both samplers broadcast one t over the batch
+(ertdx/diffusion.py:96-99,148-151); models/mega.py owns that contract.
+
+Sampling-path only: no VJP is defined — the reverse scan never
+differentiates through the denoiser. Parity vs the flax CoreBlock is
+pinned in tests/test_ops.py (interpreter mode, exact f32).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+_PREC = jax.lax.Precision.DEFAULT
+_LN_EPS = 1e-6          # flax nn.LayerNorm default (AdaLN's inner LN)
+# largest whole-chunk self-attention tile: (chunk*P)^2 logits must stay
+# small; 12 chains x 29 tokens -> (348, 348) f32 = 474 KB
+MAX_SINGLE_TILE = 12
+
+
+def _ln(x):
+    """LayerNorm(use_bias=False, use_scale=False) over the lane dim."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    d = x - mu
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    return d * jax.lax.rsqrt(var + _LN_EPS)
+
+
+def _hilo(a):
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, a - hi
+
+
+def _dot(a, b, dims=None):
+    """f32 matmul as THREE single-pass bf16 MXU products (bf16_3x).
+
+    Mosaic rejects Precision.HIGH and its DEFAULT is one bf16 pass
+    (measured 2.2e-3/matmul — accumulated to 7e-2 over four blocks,
+    5x the XLA path's own 1.3e-2 equivalent-program divergence). The
+    hi/lo split makes every operand exactly bf16-representable, so the
+    three passes reproduce jax's HIGH class (measured 1.3e-5/matmul)
+    at 3x MXU cost — the kernel is then MORE accurate than the XLA
+    composition it replaces, and the remaining end-to-end gap is the
+    platform's own bf16 accumulation, not the kernel's.
+
+    dims=None: (m, k) @ (k, n). dims='nt': contract both operands'
+    last dim — a @ b.T without materializing the transpose."""
+    dn = (((1,), (1,)), ((), ())) if dims == "nt" else \
+        (((1,), (0,)), ((), ()))
+    ah, al = _hilo(a)
+    bh, bl = _hilo(b)
+
+    def p(x, y):
+        return jax.lax.dot_general(x, y, dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+
+    return p(ah, bh) + p(al, bh) + p(ah, bl)
+
+
+def _core_block_kernel(x_ref, mods_ref, k_ref, v_ref, wqkv_ref, wso_ref,
+                       bso_ref, wcq_ref, wco_ref, bco_ref, w1_ref, b1_ref,
+                       w2_ref, b2_ref, o_ref, x1_scr, *, p: int, chunk: int,
+                       tile_chains: int, lk_valid: int, scale: float):
+    mods = mods_ref[0]                       # (6, D): s1,h1,s2,h2,s3,h3
+    s1, h1 = mods[0:1, :], mods[1:2, :]
+    s2, h2 = mods[2:3, :], mods[3:4, :]
+    s3, h3 = mods[4:5, :], mods[5:6, :]
+
+    # ---- stage 1: block-diagonal self-attention, per-tile qkv ----
+    rows_t = tile_chains * p
+    rid = jax.lax.broadcasted_iota(jnp.int32, (rows_t, rows_t), 0) // p
+    cid = jax.lax.broadcasted_iota(jnp.int32, (rows_t, rows_t), 1) // p
+    same_chain = rid == cid
+    d = x_ref.shape[-1]
+    for i in range(chunk // tile_chains):
+        xt = x_ref[0, pl.ds(i * rows_t, rows_t), :].astype(jnp.float32)
+        h = _ln(xt) * (1.0 + s1) + h1
+        qkv = _dot(h, wqkv_ref[:, :])        # (rows_t, 3D)
+        q = qkv[:, :d] * scale
+        kk = qkv[:, d:2 * d]
+        vv = qkv[:, 2 * d:]
+        s = _dot(q, kk, dims="nt")
+        s = jnp.where(same_chain, s, _NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        a = _dot(e / jnp.sum(e, axis=1, keepdims=True), vv)
+        x1_scr[pl.ds(i * rows_t, rows_t), :] = (
+            xt + _dot(a, wso_ref[:, :]) + bso_ref[:])
+
+    # ---- stage 2: folded cross-attention to the condition K/V ----
+    x1 = x1_scr[:, :]                        # (rows, D)
+    h = _ln(x1) * (1.0 + s2) + h2
+    q = _dot(h, wcq_ref[:, :]) * scale
+    s = _dot(q, k_ref[0], dims="nt")                  # (rows, Lkp)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < lk_valid, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    a = _dot(e / jnp.sum(e, axis=1, keepdims=True), v_ref[0])
+    x2 = x1 + _dot(a, wco_ref[:, :]) + bco_ref[:]
+
+    # ---- stage 3: MLP ----
+    h = _ln(x2) * (1.0 + s3) + h3
+    h = jax.nn.gelu(_dot(h, w1_ref[:, :]) + b1_ref[:], approximate=True)
+    o_ref[0] = (x2 + _dot(h, w2_ref[:, :]) + b2_ref[:]).astype(o_ref.dtype)
+
+
+def pick_chunk(n_real: int, p: int) -> int:
+    """Chains per program: a divisor of R, 8-tileable or single-tileable.
+
+    Prefers the largest 8-divisible divisor <= 64 (VMEM-bounded slab),
+    else the largest divisor <= MAX_SINGLE_TILE (whole-chunk tile).
+    Returns 0 when no valid chunk exists (caller falls back to XLA)."""
+    best8 = 0
+    best_small = 0
+    for c in range(1, min(n_real, 64) + 1):
+        if n_real % c:
+            continue
+        if c % 8 == 0:
+            best8 = c
+        if c <= MAX_SINGLE_TILE:
+            best_small = c
+    return best8 or best_small
+
+
+def fused_core_block_ok(n_real: int, p: int, d: int) -> bool:
+    return (jax.default_backend() == "tpu" and d % 128 == 0
+            and pick_chunk(n_real, p) > 0)
+
+
+def fused_core_block(x3, mods, k, v, w, *, p: int, chunk: int,
+                     interpret: bool = False):
+    """One CoreBlock over condition-major chain slabs.
+
+    x3:   (B*n_chunks, chunk*P, D) — free view of (B*R, P, D)
+    mods: (B, 6, D) AdaLN scale/shift rows [s1,h1,s2,h2,s3,h3]
+    k,v:  (B, Lk, D) per-condition cross K/V (un-padded; padded here)
+    w:    dict of block weights (models/mega.py extract_core_weights)
+    """
+    g, rows, d = x3.shape
+    b = mods.shape[0]
+    n_chunks = g // b
+    lk = k.shape[1]
+    lkp = -(-lk // 128) * 128
+    if lkp != lk:
+        k = jnp.pad(k, ((0, 0), (0, lkp - lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lkp - lk), (0, 0)))
+    tile_chains = 8 if chunk % 8 == 0 else chunk
+
+    def cond_idx(i, j):
+        return (i, 0, 0)
+
+    def w2d(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def w1d(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _core_block_kernel, p=p, chunk=chunk, tile_chains=tile_chains,
+        lk_valid=lk, scale=1.0 / math.sqrt(d))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, rows, d), lambda i, j: (i * n_chunks + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, d), cond_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lkp, d), cond_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lkp, d), cond_idx, memory_space=pltpu.VMEM),
+            w2d(w["wqkv"]), w2d(w["wso"]), w1d(w["bso"]),
+            w2d(w["wcq"]), w2d(w["wco"]), w1d(w["bco"]),
+            w2d(w["w1"]), w1d(w["b1"]), w2d(w["w2"]), w1d(w["b2"]),
+        ],
+        out_specs=pl.BlockSpec((1, rows, d),
+                               lambda i, j: (i * n_chunks + j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, rows, d), x3.dtype),
+        scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * rows * d * (3 * d + d + d + 8 * d
+                                      + 2 * tile_chains * p + 2 * lkp),
+            bytes_accessed=2 * g * rows * d * 4,
+            transcendentals=g * rows * (tile_chains * p + lkp + 4 * d),
+        ),
+    )(x3, mods, k, v, w["wqkv"], w["wso"], w["bso"], w["wcq"], w["wco"],
+      w["bco"], w["w1"], w["b1"], w["w2"], w["b2"])

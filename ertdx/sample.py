@@ -23,6 +23,7 @@ import numpy as np
 from . import transforms
 from .configs import SampleConfig
 from .diffusion import DiffusionSchedule, sample_ancestral, sample_ddim
+from .models.mega import mega_denoise_ensemble, mega_plan
 from .params import ParameterSpace
 from .parallel.mesh import batch_sharding, replicated
 
@@ -82,12 +83,25 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
             shard_chains = batch_sharding(mesh)
 
     ensemble_native = hasattr(model, "denoise_ensemble")
+    # fused-core path (whole CoreBlocks as single Pallas kernels): valid
+    # here and only here — the samplers broadcast ONE t over every chain
+    # (diffusion.py:96-99,148-151), the contract models/mega.py requires
+    mega = mega_plan(model, n_realizations, mesh) if ensemble_native \
+        else None
 
     @jax.jit
     def run(params, condition, key, schedule):
         B = condition.shape[0]
         cond_ctx = model.apply({"params": params}, condition,
                                method=model.encode_condition)
+        if mega is not None:
+            def denoise_fn(x, t):
+                return mega_denoise_ensemble(params, x, t, cond_ctx,
+                                             n_realizations, **mega)
+
+            u = sampler(denoise_fn, key, (n_realizations * B, P),
+                        schedule=schedule)
+            return u.reshape(B, n_realizations, P).transpose(1, 0, 2)
         if ensemble_native:
             # condition-major layout (chain index = b*R + r): the model
             # folds chains into the cross-attention query length, so the

@@ -311,3 +311,74 @@ def test_ensemble_attention_grads_fall_back():
     g2 = jax.grad(lambda a: jnp.sum(_cross_reference(a, kc, vc) ** 2))(qc)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused-core ensemble path (ops/core_block.py + models/mega.py)
+# ---------------------------------------------------------------------------
+
+def _mega_model_and_inputs(n_real, key=0, num_blocks=2, d=32):
+    from ertdx.models.condunet import CondUNet
+
+    model = CondUNet(param_dim=29, hidden_dim=d, cond_channels=4,
+                     base_width=16, depth=2, num_blocks=num_blocks,
+                     num_heads=2, core_heads=1)
+    rng = np.random.default_rng(key)
+    B = 4
+    cond = jnp.asarray(rng.normal(size=(B, 96, 4)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B * n_real, 29)), jnp.float32)
+    t = jnp.full((B * n_real,), 7, jnp.int32)       # samplers share one t
+    variables = model.init(jax.random.key(0), x[:B], t[:B], cond)
+    # zero-init output projections make a parity test vacuous — perturb
+    # every parameter so all residual branches carry signal
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.key(9), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape)
+              for l, k in zip(leaves, keys)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    ctx = model.apply({"params": params}, cond,
+                      method=model.encode_condition)
+    return model, params, x, t, ctx
+
+
+def _mega_parity(n_real, expect_tile8):
+    from ertdx.models.mega import mega_denoise_ensemble
+    from ertdx.ops.core_block import pick_chunk
+
+    model, params, x, t, ctx = _mega_model_and_inputs(n_real)
+    chunk = pick_chunk(n_real, 29)
+    assert chunk > 0
+    assert (chunk % 8 == 0) is expect_tile8
+    out_ref = model.apply({"params": params}, x, t, ctx, n_real,
+                          method=model.denoise_ensemble)
+    out = mega_denoise_ensemble(params, x, t, ctx, n_real, p=29,
+                                d=model.hidden_dim, num_blocks=2,
+                                chunk=chunk, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mega_denoise_matches_flax_tile8():
+    """8-chain-tile self-attention path (R divisible by 8)."""
+    _mega_parity(16, expect_tile8=True)
+
+
+def test_mega_denoise_matches_flax_single_tile():
+    """Whole-chunk tile path (R=10: the reference's R=50 family)."""
+    _mega_parity(10, expect_tile8=False)
+
+
+def test_mega_plan_gates():
+    """mega_plan engages only under its full precondition set."""
+    from ertdx.models.mega import mega_plan
+    from ertdx.models.condunet import CondUNet
+
+    kw = dict(param_dim=29, hidden_dim=128, cond_channels=4, base_width=16,
+              depth=2, num_blocks=2, num_heads=2, core_heads=1,
+              ensemble_mega=True, ensemble_min_chains=1)
+    on_cpu = mega_plan(CondUNet(**kw), 16)
+    assert on_cpu is None                    # CPU backend -> XLA path
+    assert mega_plan(CondUNet(**{**kw, "ensemble_mega": False}), 16) is None
+    assert mega_plan(CondUNet(**{**kw, "core_heads": 2}), 16) is None
+    # mesh-sharded ensembles stay on the GSPMD path
+    assert mega_plan(CondUNet(**kw), 16, mesh=object()) is None
