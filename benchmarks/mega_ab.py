@@ -21,6 +21,7 @@ import numpy as np
 from ertdx.configs import ModelConfig, SampleConfig
 from ertdx.diffusion import get_diffusion_schedule
 from ertdx.models import build_model
+from ertdx.models import mega as mega_mod
 from ertdx.models.mega import mega_denoise_ensemble, mega_plan
 from ertdx.sample import _ensemble_fn
 from ertdx.train import create_train_state
@@ -47,7 +48,8 @@ def _build(mega: bool):
 
 def check_numerics(n_real=1000) -> None:
     model, params, cond = _build(True)
-    plan = mega_plan(model, n_real)
+    mega_mod.MIN_TOTAL_CHAINS = 1   # A/B measures BOTH sides of the gate
+    plan = mega_plan(model, n_real, B)
     assert plan is not None, "mega_plan declined on this backend"
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(B * n_real, P)), jnp.float32)

@@ -48,9 +48,16 @@ class ModelConfig:
     ensemble_min_chains: int = 1024  # chain-count gate for the fused
                                      # ensemble kernels (below it the
                                      # XLA path wins outright)
-    ensemble_mega: bool = False    # fused-core ensemble sampling: each
-                                   # CoreBlock as ONE Pallas kernel
+    ensemble_mega: bool = True     # fused-core ensemble sampling: each
+                                   # CoreBlock as ONE Pallas kernel —
+                                   # measured 2.09x on the configs[3]
+                                   # ensemble (mega_ab.py); auto-gated to
+                                   # TPU + f32 + single-head core +
+                                   # >= ensemble_min_chains chains
                                    # (ops/core_block.py, models/mega.py)
+    ensemble_mega_accurate: bool = False  # in-kernel bf16_3x matmuls
+                                          # (above XLA's own accuracy;
+                                          # 3x MXU cost)
     dtype: str = "float32"         # condunet compute dtype ("bfloat16"
                                    # for MXU-native training; params f32)
 

@@ -33,6 +33,7 @@ def build_model(cfg: ModelConfig):
                         ensemble_pallas=cfg.ensemble_pallas,
                         ensemble_min_chains=cfg.ensemble_min_chains,
                         ensemble_mega=cfg.ensemble_mega,
+                        ensemble_mega_accurate=cfg.ensemble_mega_accurate,
                         dtype=jnp.dtype(cfg.dtype))
     raise ValueError(f"unknown model {cfg.name!r}")
 

@@ -328,10 +328,13 @@ class CondUNet(nn.Module):
                                    # measured 0.62x vs XLA end-to-end —
                                    # retired to opt-in (DESIGN.md §6)
     ensemble_min_chains: int = 1024  # chain count gate for the fused path
-    ensemble_mega: bool = False  # fused-core ensemble sampling: whole
-                                 # CoreBlocks as single Pallas kernels
+    ensemble_mega: bool = True   # fused-core ensemble sampling: whole
+                                 # CoreBlocks as single Pallas kernels,
+                                 # 2.09x on the configs[3] ensemble
                                  # (ertdx/models/mega.py; engaged by
                                  # ertdx.sample._ensemble_fn, not here)
+    ensemble_mega_accurate: bool = False  # bf16_3x in-kernel matmuls
+                                          # (3x MXU; ops/core_block._dot)
     dtype: Any = jnp.float32     # compute dtype (params stay f32);
                                  # jnp.bfloat16 for MXU-native training
 

@@ -32,6 +32,12 @@ from .common import get_timestep_embedding
 
 _LN_EPS = 1e-6   # flax nn.LayerNorm default
 
+# engage the fused-core path only above this TOTAL chain count
+# (n_realizations x condition batch). Measured on the chip (mega_ab.py):
+# 32,000 chains -> 2.09x vs XLA; 1,024 chains -> 0.91x. 8,192 is the
+# conservative crossover bound pending a finer sweep.
+MIN_TOTAL_CHAINS = 8192
+
 
 def extract_core_weights(params, i: int) -> dict:
     b = params[f"blocks_{i}"]
@@ -48,12 +54,14 @@ def extract_core_weights(params, i: int) -> dict:
     }
 
 
-def mega_plan(model, n_real: int, mesh=None) -> Optional[dict]:
+def mega_plan(model, n_real: int, batch: int = 1,
+              mesh=None) -> Optional[dict]:
     """Static-gate the fused-core path; None -> use the flax/XLA path.
 
     Requires: the flag, a TPU backend, single-head f32 core, lane-aligned
-    hidden dim, a valid chain chunking, and no mesh (the sharded ensemble
-    stays on the GSPMD/XLA path)."""
+    hidden dim, a valid chain chunking, >= MIN_TOTAL_CHAINS total chains
+    (below it the XLA path measures ahead), and no mesh (the sharded
+    ensemble stays on the GSPMD/XLA path)."""
     if not getattr(model, "ensemble_mega", False) or mesh is not None:
         return None
     if getattr(model, "core_heads", 0) != 1:
@@ -62,17 +70,20 @@ def mega_plan(model, n_real: int, mesh=None) -> Optional[dict]:
         return None
     if jax.default_backend() != "tpu" or model.hidden_dim % 128:
         return None
-    if n_real < getattr(model, "ensemble_min_chains", 1):
+    if n_real * batch < MIN_TOTAL_CHAINS:
         return None
     chunk = pick_chunk(n_real, model.param_dim)
     if chunk == 0:
         return None
     return {"p": model.param_dim, "d": model.hidden_dim,
-            "num_blocks": model.num_blocks, "chunk": chunk}
+            "num_blocks": model.num_blocks, "chunk": chunk,
+            "accurate": bool(getattr(model, "ensemble_mega_accurate",
+                                     False))}
 
 
 def mega_denoise_ensemble(params, x, t, cond_ctx, n_real: int, *, p: int,
                           d: int, num_blocks: int, chunk: int,
+                          accurate: bool = False,
                           interpret: bool = False):
     """(B*n_real, P) condition-major chains -> eps_hat, fused core blocks."""
     cond_tokens, cond_vec = cond_ctx          # (B, Lk, D), (B, D)
@@ -99,7 +110,7 @@ def mega_denoise_ensemble(params, x, t, cond_ctx, n_real: int, *, p: int,
             axis=1)                                        # (B, 6, D)
         k, v = jnp.split(cond_tokens @ w["wkv"], 2, axis=-1)
         x3 = fused_core_block(x3, mods, k, v, w, p=p, chunk=chunk,
-                              interpret=interpret)
+                              accurate=accurate, interpret=interpret)
 
     tokens = x3.reshape(n, p, d)
     mu = jnp.mean(tokens, axis=-1, keepdims=True)

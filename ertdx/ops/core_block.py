@@ -23,13 +23,17 @@ chunk=10). Cross-attention and the MLP run on the whole slab: every row
 attends the SAME per-condition K/V (Lk ~147 condition tokens, lane-padded
 to 128s and column-masked exactly like ops/ensemble_attn.py).
 
-Numerics: every in-kernel matmul runs bf16_3x via an explicit hi/lo
-operand split (see _dot) — 1.3e-5/matmul, i.e. MORE accurate than the
-XLA path's single-pass DEFAULT (2.2e-3/matmul, which accumulates to a
-measured 1.3e-2 divergence between two *equivalent XLA programs* of this
-very model). LayerNorm eps 1e-6 (flax default), tanh-approximate GELU
-(flax nn.gelu); benchmarks/mega_ab.py gates the end-to-end error against
-the platform's own equivalence floor.
+Numerics — two modes (_dot): fast (default) runs every matmul as ONE
+bf16 MXU pass, the exact class of the XLA path's DEFAULT einsums
+(2.2e-3/matmul); accurate=True runs bf16_3x via an explicit hi/lo
+operand split (1.3e-5/matmul — jax's HIGH, which Mosaic won't lower
+directly) at 3x MXU cost. Ground truth vs CPU f32 (benchmarks/
+mega_truth.py, identical params/inputs): the XLA path itself sits at
+rms 0.0094 / max-rel 0.148; the accurate kernel at rms 0.0078 — i.e.
+BOTH kernel modes live inside the platform's own bf16 accumulation
+band, and "exact parity with XLA-TPU" is not a meaningful target.
+LayerNorm eps 1e-6 (flax default), tanh-approximate GELU (flax
+nn.gelu); benchmarks/mega_ab.py gates end-to-end posterior statistics.
 Shared-t contract: the AdaLN scale/shift vectors arrive per CONDITION
 (B, 6, D) — valid because both samplers broadcast one t over the batch
 (ertdx/diffusion.py:96-99,148-151); models/mega.py owns that contract.
@@ -69,7 +73,7 @@ def _hilo(a):
     return hi, a - hi
 
 
-def _dot(a, b, dims=None):
+def _dot(a, b, dims=None, accurate=True):
     """f32 matmul as THREE single-pass bf16 MXU products (bf16_3x).
 
     Mosaic rejects Precision.HIGH and its DEFAULT is one bf16 pass
@@ -82,24 +86,31 @@ def _dot(a, b, dims=None):
     platform's own bf16 accumulation, not the kernel's.
 
     dims=None: (m, k) @ (k, n). dims='nt': contract both operands'
-    last dim — a @ b.T without materializing the transpose."""
+    last dim — a @ b.T without materializing the transpose.
+
+    accurate=False runs ONE bf16 pass — the same class as the XLA path's
+    DEFAULT einsums, at 1/3 the MXU cost."""
     dn = (((1,), (1,)), ((), ())) if dims == "nt" else \
         (((1,), (0,)), ((), ()))
-    ah, al = _hilo(a)
-    bh, bl = _hilo(b)
 
     def p(x, y):
         return jax.lax.dot_general(x, y, dn,
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
 
+    if not accurate:
+        return p(a, b)
+    ah, al = _hilo(a)
+    bh, bl = _hilo(b)
     return p(ah, bh) + p(al, bh) + p(ah, bl)
 
 
 def _core_block_kernel(x_ref, mods_ref, k_ref, v_ref, wqkv_ref, wso_ref,
                        bso_ref, wcq_ref, wco_ref, bco_ref, w1_ref, b1_ref,
                        w2_ref, b2_ref, o_ref, x1_scr, *, p: int, chunk: int,
-                       tile_chains: int, lk_valid: int, scale: float):
+                       tile_chains: int, lk_valid: int, scale: float,
+                       accurate: bool):
+    dot = functools.partial(_dot, accurate=accurate)
     mods = mods_ref[0]                       # (6, D): s1,h1,s2,h2,s3,h3
     s1, h1 = mods[0:1, :], mods[1:2, :]
     s2, h2 = mods[2:3, :], mods[3:4, :]
@@ -114,34 +125,34 @@ def _core_block_kernel(x_ref, mods_ref, k_ref, v_ref, wqkv_ref, wso_ref,
     for i in range(chunk // tile_chains):
         xt = x_ref[0, pl.ds(i * rows_t, rows_t), :].astype(jnp.float32)
         h = _ln(xt) * (1.0 + s1) + h1
-        qkv = _dot(h, wqkv_ref[:, :])        # (rows_t, 3D)
+        qkv = dot(h, wqkv_ref[:, :])        # (rows_t, 3D)
         q = qkv[:, :d] * scale
         kk = qkv[:, d:2 * d]
         vv = qkv[:, 2 * d:]
-        s = _dot(q, kk, dims="nt")
+        s = dot(q, kk, dims="nt")
         s = jnp.where(same_chain, s, _NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - m)
-        a = _dot(e / jnp.sum(e, axis=1, keepdims=True), vv)
+        a = dot(e / jnp.sum(e, axis=1, keepdims=True), vv)
         x1_scr[pl.ds(i * rows_t, rows_t), :] = (
-            xt + _dot(a, wso_ref[:, :]) + bso_ref[:])
+            xt + dot(a, wso_ref[:, :]) + bso_ref[:])
 
     # ---- stage 2: folded cross-attention to the condition K/V ----
     x1 = x1_scr[:, :]                        # (rows, D)
     h = _ln(x1) * (1.0 + s2) + h2
-    q = _dot(h, wcq_ref[:, :]) * scale
-    s = _dot(q, k_ref[0], dims="nt")                  # (rows, Lkp)
+    q = dot(h, wcq_ref[:, :]) * scale
+    s = dot(q, k_ref[0], dims="nt")                  # (rows, Lkp)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < lk_valid, s, _NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
-    a = _dot(e / jnp.sum(e, axis=1, keepdims=True), v_ref[0])
-    x2 = x1 + _dot(a, wco_ref[:, :]) + bco_ref[:]
+    a = dot(e / jnp.sum(e, axis=1, keepdims=True), v_ref[0])
+    x2 = x1 + dot(a, wco_ref[:, :]) + bco_ref[:]
 
     # ---- stage 3: MLP ----
     h = _ln(x2) * (1.0 + s3) + h3
-    h = jax.nn.gelu(_dot(h, w1_ref[:, :]) + b1_ref[:], approximate=True)
-    o_ref[0] = (x2 + _dot(h, w2_ref[:, :]) + b2_ref[:]).astype(o_ref.dtype)
+    h = jax.nn.gelu(dot(h, w1_ref[:, :]) + b1_ref[:], approximate=True)
+    o_ref[0] = (x2 + dot(h, w2_ref[:, :]) + b2_ref[:]).astype(o_ref.dtype)
 
 
 def pick_chunk(n_real: int, p: int) -> int:
@@ -168,7 +179,7 @@ def fused_core_block_ok(n_real: int, p: int, d: int) -> bool:
 
 
 def fused_core_block(x3, mods, k, v, w, *, p: int, chunk: int,
-                     interpret: bool = False):
+                     accurate: bool = False, interpret: bool = False):
     """One CoreBlock over condition-major chain slabs.
 
     x3:   (B*n_chunks, chunk*P, D) — free view of (B*R, P, D)
@@ -199,7 +210,7 @@ def fused_core_block(x3, mods, k, v, w, *, p: int, chunk: int,
 
     kernel = functools.partial(
         _core_block_kernel, p=p, chunk=chunk, tile_chains=tile_chains,
-        lk_valid=lk, scale=1.0 / math.sqrt(d))
+        lk_valid=lk, scale=1.0 / math.sqrt(d), accurate=accurate)
     return pl.pallas_call(
         kernel,
         grid=(b, n_chunks),

@@ -86,8 +86,8 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
     # fused-core path (whole CoreBlocks as single Pallas kernels): valid
     # here and only here — the samplers broadcast ONE t over every chain
     # (diffusion.py:96-99,148-151), the contract models/mega.py requires
-    mega = mega_plan(model, n_realizations, mesh) if ensemble_native \
-        else None
+    mega = mega_plan(model, n_realizations, batch, mesh) \
+        if ensemble_native else None
 
     @jax.jit
     def run(params, condition, key, schedule):

@@ -375,10 +375,14 @@ def test_mega_plan_gates():
 
     kw = dict(param_dim=29, hidden_dim=128, cond_channels=4, base_width=16,
               depth=2, num_blocks=2, num_heads=2, core_heads=1,
-              ensemble_mega=True, ensemble_min_chains=1)
-    on_cpu = mega_plan(CondUNet(**kw), 16)
+              ensemble_mega=True)
+    big = 100_000                            # clears MIN_TOTAL_CHAINS
+    on_cpu = mega_plan(CondUNet(**kw), 16, big)
     assert on_cpu is None                    # CPU backend -> XLA path
-    assert mega_plan(CondUNet(**{**kw, "ensemble_mega": False}), 16) is None
-    assert mega_plan(CondUNet(**{**kw, "core_heads": 2}), 16) is None
+    assert mega_plan(CondUNet(**{**kw, "ensemble_mega": False}),
+                     16, big) is None
+    assert mega_plan(CondUNet(**{**kw, "core_heads": 2}), 16, big) is None
+    # below the measured crossover the XLA path wins — stay off
+    assert mega_plan(CondUNet(**kw), 16, 2) is None
     # mesh-sharded ensembles stay on the GSPMD path
-    assert mega_plan(CondUNet(**kw), 16, mesh=object()) is None
+    assert mega_plan(CondUNet(**kw), 16, big, mesh=object()) is None
