@@ -81,8 +81,24 @@ def check_numerics(n_real=1000) -> None:
     assert np.isfinite(err) and err < 0.2, f"fused path diverged: {err}"
 
 
-def _runner(mega: bool, scfg: SampleConfig, n_real: int):
-    model, params, cond = _build(mega)
+def _runner(variant: str, scfg: SampleConfig, n_real: int):
+    """variant: 'xla' | 'block' (kernel per block) | 'stack' (one kernel).
+
+    The two fused variants build structurally identical models, so the
+    ensemble cache and the sampler's mega_plan must be steered per
+    variant (sample.py binds mega_plan by name)."""
+    import ertdx.sample as sample_mod
+
+    model, params, cond = _build(variant != "xla")
+    plan0 = mega_plan
+    if variant == "stack":
+        def plan_stack(*a, **kw):
+            plan = plan0(*a, **kw)
+            return {**plan, "stack": True} if plan else None
+        sample_mod.mega_plan = plan_stack
+    else:
+        sample_mod.mega_plan = plan0
+    sample_mod._ENSEMBLE_CACHE.clear()
     run = _ensemble_fn(model, n_real, P, scfg, None, T, cond.shape[1:], B)
     return run, params, cond
 
@@ -105,8 +121,8 @@ def main() -> int:
         ("ancestral_t500_r32", SampleConfig(uncertainty_samples=32), 32, 3),
     ):
         pairs = {}
-        for label, flag in (("mega", True), ("xla", False)):
-            run, params, cond = _runner(flag, scfg, n_real)
+        for label in ("xla", "block", "stack"):
+            run, params, cond = _runner(label, scfg, n_real)
             dt = _one(run, params, cond, sch)          # compile + warm
             print(json.dumps({f"{name}_{label}_warm_s": round(dt, 2)}),
                   flush=True)
@@ -116,11 +132,9 @@ def main() -> int:
             for label, (run, params, cond) in pairs.items():
                 times[label].append(_one(run, params, cond, sch))
         med = {k: sorted(v)[len(v) // 2] for k, v in times.items()}
-        results[name] = {
-            "mega_s": round(med["mega"], 4),
-            "xla_s": round(med["xla"], 4),
-            "speedup": round(med["xla"] / med["mega"], 3),
-        }
+        results[name] = {f"{k}_s": round(v, 4) for k, v in med.items()}
+        results[name]["speedup_block"] = round(med["xla"] / med["block"], 3)
+        results[name]["speedup_stack"] = round(med["xla"] / med["stack"], 3)
         print(json.dumps({name: results[name]}), flush=True)
 
         # posterior-statistics acceptance: same key through both paths —
@@ -130,13 +144,14 @@ def main() -> int:
         for label, (run, params, cond) in pairs.items():
             u = run(params, cond, jax.random.key(7), sch)  # (R, B, P)
             ens[label] = np.asarray(u)
-        mu_m, mu_x = ens["mega"].mean(0), ens["xla"].mean(0)
-        sd_m, sd_x = ens["mega"].std(0), ens["xla"].std(0)
-        shift = float(np.max(np.abs(mu_m - mu_x) / (sd_x + 1e-6)))
-        ratio = float(np.max(np.abs(np.log(
-            (sd_m + 1e-6) / (sd_x + 1e-6)))))
-        rec = {"max_mean_shift_in_sd": round(shift, 4),
-               "max_abs_log_sd_ratio": round(ratio, 4)}
+        mu_x, sd_x = ens["xla"].mean(0), ens["xla"].std(0)
+        rec = {}
+        for label in ("block", "stack"):
+            mu_m, sd_m = ens[label].mean(0), ens[label].std(0)
+            rec[f"{label}_max_mean_shift_in_sd"] = round(float(
+                np.max(np.abs(mu_m - mu_x) / (sd_x + 1e-6))), 4)
+            rec[f"{label}_max_abs_log_sd_ratio"] = round(float(
+                np.max(np.abs(np.log((sd_m + 1e-6) / (sd_x + 1e-6))))), 4)
         results[name].update(rec)
         print(json.dumps({f"{name}_posterior_stats": rec}), flush=True)
     print(json.dumps({"device": jax.devices()[0].device_kind,

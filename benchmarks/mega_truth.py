@@ -88,26 +88,27 @@ def main() -> int:
         return model.apply({"params": params}, x, t, ctx, R,
                            method=model.denoise_ensemble)
 
-    def f_mega(accurate):
+    def f_mega(**over):
         @jax.jit
         def f(params, x, t, cond):
             ctx = model.apply({"params": params}, cond,
                               method=model.encode_condition)
             return mega_denoise_ensemble(params, x, t, ctx, R,
-                                         **{**plan, "accurate": accurate})
+                                         **{**plan, **over})
         return f
 
     a = np.asarray(f_xla(params, x, t, cond), np.float64)
-    b = np.asarray(f_mega(False)(params, x, t, cond), np.float64)
-    c = np.asarray(f_mega(True)(params, x, t, cond), np.float64)
-    print(json.dumps({
-        "xla_tpu_vs_cpu": float(np.max(np.abs(a - ref)) / den),
-        "mega_fast_tpu_vs_cpu": float(np.max(np.abs(b - ref)) / den),
-        "mega_accurate_tpu_vs_cpu": float(np.max(np.abs(c - ref)) / den),
-        "rms_xla": float(np.sqrt(np.mean((a - ref) ** 2))),
-        "rms_mega_fast": float(np.sqrt(np.mean((b - ref) ** 2))),
-        "rms_mega_accurate": float(np.sqrt(np.mean((c - ref) ** 2))),
-    }), flush=True)
+    out = {"xla_tpu_vs_cpu": float(np.max(np.abs(a - ref)) / den),
+           "rms_xla": float(np.sqrt(np.mean((a - ref) ** 2)))}
+    for tag, over in (("block_fast", {}),
+                      ("block_accurate", {"accurate": True}),
+                      ("stack_fast", {"stack": True}),
+                      ("stack_accurate", {"stack": True, "accurate": True})):
+        b = np.asarray(f_mega(**over)(params, x, t, cond), np.float64)
+        out[f"{tag}_tpu_vs_cpu"] = float(np.max(np.abs(b - ref)) / den)
+        out[f"rms_{tag}"] = float(np.sqrt(np.mean((b - ref) ** 2)))
+        print(json.dumps({tag: out[f"rms_{tag}"]}), flush=True)
+    print(json.dumps(out), flush=True)
     return 0
 
 

@@ -27,7 +27,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.core_block import fused_core_block, pick_chunk
+from ..ops.core_block import (fused_core_block, fused_core_stack,
+                              pick_chunk)
 from .common import get_timestep_embedding
 
 _LN_EPS = 1e-6   # flax nn.LayerNorm default
@@ -78,37 +79,78 @@ def mega_plan(model, n_real: int, batch: int = 1,
     return {"p": model.param_dim, "d": model.hidden_dim,
             "num_blocks": model.num_blocks, "chunk": chunk,
             "accurate": bool(getattr(model, "ensemble_mega_accurate",
-                                     False))}
+                                     False)),
+            # one-kernel whole-core variant: pending hardware A/B
+            # (benchmarks/mega_ab.py); per-block kernels are the
+            # measured 2.09x production path
+            "stack": False}
 
 
-def mega_denoise_ensemble(params, x, t, cond_ctx, n_real: int, *, p: int,
-                          d: int, num_blocks: int, chunk: int,
-                          accurate: bool = False,
-                          interpret: bool = False):
-    """(B*n_real, P) condition-major chains -> eps_hat, fused core blocks."""
-    cond_tokens, cond_vec = cond_ctx          # (B, Lk, D), (B, D)
-    bsz = cond_tokens.shape[0]
-    n = x.shape[0]
-
+def _cvec_silu(params, t, cond_vec, d):
+    """silu(AdaLN conditioning vector) per condition — shared-t."""
     temb = get_timestep_embedding(t[:1], d)   # shared-t: one row
     h = jax.nn.silu(temb @ params["time_mlp1"]["kernel"]
                     + params["time_mlp1"]["bias"])
     cvec = (h @ params["time_mlp2"]["kernel"]
             + params["time_mlp2"]["bias"]) + cond_vec      # (B, D)
-    sc = jax.nn.silu(cvec)
+    return jax.nn.silu(cvec)
+
+
+def _block_mods_kv(w, sc, cond_tokens):
+    """(B, 6, D) AdaLN rows + (B, Lk, D) cross K/V for one block."""
+    mods = jnp.stack(
+        [m for wk, bk in w["ada"]
+         for m in jnp.split(sc @ wk + bk, 2, axis=-1)],
+        axis=1)
+    k, v = jnp.split(cond_tokens @ w["wkv"], 2, axis=-1)
+    return mods, k, v
+
+
+def mega_denoise_ensemble(params, x, t, cond_ctx, n_real: int, *, p: int,
+                          d: int, num_blocks: int, chunk: int,
+                          accurate: bool = False, stack: bool = True,
+                          interpret: bool = False):
+    """(B*n_real, P) condition-major chains -> eps_hat, fused core.
+
+    stack=True (default) runs lift -> all blocks -> head as ONE kernel
+    (fused_core_stack): HBM sees only the compact (chunk, P) chain tiles.
+    stack=False keeps one kernel per block with lift/out-norm/head in XLA
+    (the fallback and A/B comparator)."""
+    cond_tokens, cond_vec = cond_ctx          # (B, Lk, D), (B, D)
+    bsz = cond_tokens.shape[0]
+    n = x.shape[0]
+    sc = _cvec_silu(params, t, cond_vec, d)
+    n_chunks = n_real // chunk
+
+    if stack:
+        blocks = [extract_core_weights(params, i)
+                  for i in range(num_blocks)]
+        per = [_block_mods_kv(w, sc, cond_tokens) for w in blocks]
+        mods = jnp.concatenate([m for m, _, _ in per], axis=1)
+        k = jnp.stack([k for _, k, _ in per], axis=1)      # (B, nb, Lk, D)
+        v = jnp.stack([v for _, _, v in per], axis=1)
+        lk = k.shape[-2]
+        ws = {key: jnp.stack([w[key] for w in blocks])
+              for key in ("wqkv", "wso", "bso", "wcq", "wco", "bco",
+                          "w1", "b1", "w2", "b2")}
+        out = fused_core_stack(
+            x.reshape(bsz * n_chunks, chunk, p),
+            mods, k.reshape(bsz * num_blocks, lk, d),
+            v.reshape(bsz * num_blocks, lk, d), ws,
+            params["lift"]["kernel"], params["lift"]["bias"][None, :],
+            params["pos_emb"], params["out_norm"]["scale"][None, :],
+            params["out_norm"]["bias"][None, :],
+            params["head"]["kernel"], params["head"]["bias"][None, :],
+            p=p, chunk=chunk, accurate=accurate, interpret=interpret)
+        return out.reshape(n, p)
 
     tokens = (x[..., None] @ params["lift"]["kernel"]
               + params["lift"]["bias"] + params["pos_emb"][None])
-    n_chunks = n_real // chunk
     x3 = tokens.reshape(bsz * n_chunks, chunk * p, d)      # free view
 
     for i in range(num_blocks):
         w = extract_core_weights(params, i)
-        mods = jnp.stack(
-            [m for wk, bk in w["ada"]
-             for m in jnp.split(sc @ wk + bk, 2, axis=-1)],
-            axis=1)                                        # (B, 6, D)
-        k, v = jnp.split(cond_tokens @ w["wkv"], 2, axis=-1)
+        mods, k, v = _block_mods_kv(w, sc, cond_tokens)
         x3 = fused_core_block(x3, mods, k, v, w, p=p, chunk=chunk,
                               accurate=accurate, interpret=interpret)
 

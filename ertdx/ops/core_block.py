@@ -85,13 +85,15 @@ def _dot(a, b, dims=None, accurate=True):
     composition it replaces, and the remaining end-to-end gap is the
     platform's own bf16 accumulation, not the kernel's.
 
-    dims=None: (m, k) @ (k, n). dims='nt': contract both operands'
-    last dim — a @ b.T without materializing the transpose.
+    dims=None: (m, k) @ (k, n). dims='nt': contract both operands' last
+    dim (a @ b.T). dims='tn': contract both operands' FIRST dim (a.T @ b)
+    — neither transpose is materialized.
 
     accurate=False runs ONE bf16 pass — the same class as the XLA path's
     DEFAULT einsums, at 1/3 the MXU cost."""
-    dn = (((1,), (1,)), ((), ())) if dims == "nt" else \
-        (((1,), (0,)), ((), ()))
+    dn = {"nt": (((1,), (1,)), ((), ())),
+          "tn": (((0,), (0,)), ((), ()))}.get(
+              dims, (((1,), (0,)), ((), ())))
 
     def p(x, y):
         return jax.lax.dot_general(x, y, dn,
@@ -238,3 +240,167 @@ def fused_core_block(x3, mods, k, v, w, *, p: int, chunk: int,
         ),
     )(x3, mods, k, v, w["wqkv"], w["wso"], w["bso"], w["wcq"], w["wco"],
       w["bco"], w["w1"], w["b1"], w["w2"], w["b2"])
+
+
+# ---------------------------------------------------------------------------
+# fused_core_stack: the ENTIRE core in one kernel (lift -> blocks -> head)
+# ---------------------------------------------------------------------------
+
+def _core_stack_kernel(x_ref, mods_ref, k_ref, v_ref, wqkv_ref, wso_ref,
+                       bso_ref, wcq_ref, wco_ref, bco_ref, w1_ref, b1_ref,
+                       w2_ref, b2_ref, lw_ref, lb_ref, pe_ref, ons_ref,
+                       onb_ref, hw_ref, hb_ref, o_ref, a_scr, b_scr, *,
+                       p: int, chunk: int, tile_chains: int, nb: int,
+                       lk_valid: int, scale: float, accurate: bool):
+    """One program: `chunk` chains of one condition through the WHOLE core.
+
+    x arrives compact (chunk, p) — lift/pos-emb run in-kernel after a
+    one-hot-matmul relayout to (rows, d) (Mosaic-safe; CLAUDE.md), the
+    nb blocks ping-pong between two VMEM slabs, and the head collapses
+    back to a compact (chunk, p) output, so HBM never sees a (rows, d)
+    activation."""
+    dot = functools.partial(_dot, accurate=accurate)
+    rows = chunk * p
+    d = lw_ref.shape[-1]
+
+    ohl = (jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 0) // p
+           == jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 1)
+           ).astype(jnp.float32)                  # [r, c] = r//p == c
+    ohr = (jax.lax.broadcasted_iota(jnp.int32, (rows, p), 0) % p
+           == jax.lax.broadcasted_iota(jnp.int32, (rows, p), 1)
+           ).astype(jnp.float32)                  # [r, j] = r%p == j
+
+    # ---- lift + positional embedding, in VMEM ----
+    x_cp = x_ref[0].astype(jnp.float32)           # (chunk, p)
+    t1 = dot(ohl, x_cp)                           # (rows, p): row r//p
+    x_rows = jnp.sum(t1 * ohr, axis=1, keepdims=True)     # (rows, 1)
+    a_scr[:, :] = (x_rows * lw_ref[:, :] + lb_ref[:, :]
+                   + dot(ohr, pe_ref[:, :]))
+    cur, nxt = a_scr, b_scr
+
+    rows_t = tile_chains * p
+    rid = jax.lax.broadcasted_iota(jnp.int32, (rows_t, rows_t), 0) // p
+    cid = jax.lax.broadcasted_iota(jnp.int32, (rows_t, rows_t), 1) // p
+    same_chain = rid == cid
+    mods = mods_ref[0]                            # (nb*6, d)
+
+    for i in range(nb):
+        s1, h1 = mods[6 * i:6 * i + 1, :], mods[6 * i + 1:6 * i + 2, :]
+        s2, h2 = mods[6 * i + 2:6 * i + 3, :], mods[6 * i + 3:6 * i + 4, :]
+        s3, h3 = mods[6 * i + 4:6 * i + 5, :], mods[6 * i + 5:6 * i + 6, :]
+
+        # stage 1: block-diagonal self-attention, per-tile qkv
+        for j in range(chunk // tile_chains):
+            xt = cur[pl.ds(j * rows_t, rows_t), :]
+            h = _ln(xt) * (1.0 + s1) + h1
+            qkv = dot(h, wqkv_ref[i])
+            q = qkv[:, :d] * scale
+            s = dot(q, qkv[:, d:2 * d], dims="nt")
+            s = jnp.where(same_chain, s, _NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            a = dot(e / jnp.sum(e, axis=1, keepdims=True), qkv[:, 2 * d:])
+            nxt[pl.ds(j * rows_t, rows_t), :] = (
+                xt + dot(a, wso_ref[i]) + bso_ref[i:i + 1, :])
+        cur, nxt = nxt, cur
+
+        # stage 2: folded cross-attention to this condition's K/V
+        x1 = cur[:, :]
+        h = _ln(x1) * (1.0 + s2) + h2
+        q = dot(h, wcq_ref[i]) * scale
+        s = dot(q, k_ref[i], dims="nt")           # (rows, lkp)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < lk_valid, s, _NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        a = dot(e / jnp.sum(e, axis=1, keepdims=True), v_ref[i])
+        x2 = x1 + dot(a, wco_ref[i]) + bco_ref[i:i + 1, :]
+
+        # stage 3: MLP (slab-wide; hidden tile fits VMEM at these chunks)
+        h = _ln(x2) * (1.0 + s3) + h3
+        h = jax.nn.gelu(dot(h, w1_ref[i]) + b1_ref[i:i + 1, :],
+                        approximate=True)
+        nxt[:, :] = x2 + dot(h, w2_ref[i]) + b2_ref[i:i + 1, :]
+        cur, nxt = nxt, cur
+
+    # ---- out_norm + head + compact repack ----
+    tok = _ln(cur[:, :]) * ons_ref[:, :] + onb_ref[:, :]
+    eps = dot(tok, hw_ref[:, :]) + hb_ref[:, :]   # (rows, 1)
+    out_cp = dot(ohl, eps * ohr, dims="tn")       # (chunk, p) repack
+    o_ref[0] = out_cp.astype(o_ref.dtype)
+
+
+def fused_core_stack(x, mods, k, v, ws, lift_w, lift_b, pos_emb, on_scale,
+                     on_bias, head_w, head_b, *, p: int, chunk: int,
+                     accurate: bool = False, interpret: bool = False):
+    """The whole denoiser core, one pallas_call.
+
+    x:    (B*n_chunks, chunk, p) compact chains (condition-major view)
+    mods: (B, nb*6, d) AdaLN scale/shift rows for all nb blocks
+    k,v:  (B*nb, Lk, d) per-(condition, block) cross K/V (padded here)
+    ws:   dict of per-block weight STACKS (leading dim nb):
+          wqkv (nb,d,3d), wso (nb,d,d), bso (nb,d), wcq (nb,d,d),
+          wco (nb,d,d), bco (nb,d), w1 (nb,d,4d), b1 (nb,4d),
+          w2 (nb,4d,d), b2 (nb,d)
+    lift/pos/out_norm/head params close the full denoise_ensemble math.
+
+    HBM traffic per call is the compact x in/out (+ params once): the
+    (rows, d) activations never leave VMEM."""
+    g, chunk_, p_ = x.shape
+    b = mods.shape[0]
+    nb = ws["wqkv"].shape[0]
+    d = lift_w.shape[-1]
+    n_chunks = g // b
+    lk = k.shape[1]
+    lkp = -(-lk // 128) * 128
+    if lkp != lk:
+        k = jnp.pad(k, ((0, 0), (0, lkp - lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lkp - lk), (0, 0)))
+    tile_chains = 8 if chunk % 8 == 0 else chunk
+    rows = chunk * p
+
+    def xmap(i, j):
+        return (i * n_chunks + j, 0, 0)
+
+    def cond_idx(i, j):
+        return (i, 0, 0)
+
+    def full(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _core_stack_kernel, p=p, chunk=chunk, tile_chains=tile_chains,
+        nb=nb, lk_valid=lk, scale=1.0 / math.sqrt(d), accurate=accurate)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, chunk, p), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb * 6, d), cond_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, lkp, d), cond_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, lkp, d), cond_idx, memory_space=pltpu.VMEM),
+            full(ws["wqkv"]), full(ws["wso"]), full(ws["bso"]),
+            full(ws["wcq"]), full(ws["wco"]), full(ws["bco"]),
+            full(ws["w1"]), full(ws["b1"]), full(ws["w2"]), full(ws["b2"]),
+            full(lift_w), full(lift_b), full(pos_emb), full(on_scale),
+            full(on_bias), full(head_w), full(head_b),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, p), xmap,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, chunk, p), x.dtype),
+        scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32),
+                        pltpu.VMEM((rows, d), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * g * rows * d * (3 * d + 2 * d + 8 * d
+                                           + 2 * tile_chains * p
+                                           + 2 * lkp),
+            bytes_accessed=8 * g * chunk * p,
+            transcendentals=nb * g * rows * (tile_chains * p + lkp
+                                             + 4 * d),
+        ),
+    )(x, mods, k, v, ws["wqkv"], ws["wso"], ws["bso"], ws["wcq"],
+      ws["wco"], ws["bco"], ws["w1"], ws["b1"], ws["w2"], ws["b2"],
+      lift_w, lift_b, pos_emb, on_scale, on_bias, head_w, head_b)

@@ -351,11 +351,13 @@ def _mega_parity(n_real, expect_tile8):
     assert (chunk % 8 == 0) is expect_tile8
     out_ref = model.apply({"params": params}, x, t, ctx, n_real,
                           method=model.denoise_ensemble)
-    out = mega_denoise_ensemble(params, x, t, ctx, n_real, p=29,
-                                d=model.hidden_dim, num_blocks=2,
-                                chunk=chunk, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
-                               rtol=2e-5, atol=2e-5)
+    for stack in (True, False):          # one-kernel core / kernel-per-block
+        out = mega_denoise_ensemble(params, x, t, ctx, n_real, p=29,
+                                    d=model.hidden_dim, num_blocks=2,
+                                    chunk=chunk, stack=stack,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                                   rtol=2e-5, atol=2e-5)
 
 
 def test_mega_denoise_matches_flax_tile8():
