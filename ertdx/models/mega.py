@@ -80,10 +80,10 @@ def mega_plan(model, n_real: int, batch: int = 1,
             "num_blocks": model.num_blocks, "chunk": chunk,
             "accurate": bool(getattr(model, "ensemble_mega_accurate",
                                      False)),
-            # one-kernel whole-core variant: pending hardware A/B
-            # (benchmarks/mega_ab.py); per-block kernels are the
-            # measured 2.09x production path
-            "stack": False}
+            # one-kernel whole-core variant: measured 2.44x vs XLA at
+            # configs[3] (vs 2.07x for kernel-per-block) and neutral
+            # (1.02x) even at 1,024 total chains — benchmarks/mega_ab.py
+            "stack": True}
 
 
 def _cvec_silu(params, t, cond_vec, d):
