@@ -91,11 +91,13 @@ def _runner(variant: str, scfg: SampleConfig, n_real: int):
 
     model, params, cond = _build(variant != "xla")
     plan0 = mega_plan
-    if variant == "stack":
-        def plan_stack(*a, **kw):
+    if variant in ("stack", "block"):
+        want_stack = variant == "stack"
+
+        def plan_var(*a, **kw):
             plan = plan0(*a, **kw)
-            return {**plan, "stack": True} if plan else None
-        sample_mod.mega_plan = plan_stack
+            return {**plan, "stack": want_stack} if plan else None
+        sample_mod.mega_plan = plan_var
     else:
         sample_mod.mega_plan = plan0
     sample_mod._ENSEMBLE_CACHE.clear()

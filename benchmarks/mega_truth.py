@@ -100,8 +100,9 @@ def main() -> int:
     a = np.asarray(f_xla(params, x, t, cond), np.float64)
     out = {"xla_tpu_vs_cpu": float(np.max(np.abs(a - ref)) / den),
            "rms_xla": float(np.sqrt(np.mean((a - ref) ** 2)))}
-    for tag, over in (("block_fast", {}),
-                      ("block_accurate", {"accurate": True}),
+    for tag, over in (("block_fast", {"stack": False}),
+                      ("block_accurate", {"stack": False,
+                                          "accurate": True}),
                       ("stack_fast", {"stack": True}),
                       ("stack_accurate", {"stack": True, "accurate": True})):
         b = np.asarray(f_mega(**over)(params, x, t, cond), np.float64)

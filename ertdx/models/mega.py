@@ -133,15 +133,17 @@ def mega_denoise_ensemble(params, x, t, cond_ctx, n_real: int, *, p: int,
         ws = {key: jnp.stack([w[key] for w in blocks])
               for key in ("wqkv", "wso", "bso", "wcq", "wco", "bco",
                           "w1", "b1", "w2", "b2")}
+        # one program per condition: the kernel's fori_loop streams the
+        # realization axis in `outer`-chain tiles internally
         out = fused_core_stack(
-            x.reshape(bsz * n_chunks, chunk, p),
+            x.reshape(bsz, n_real, p),
             mods, k.reshape(bsz * num_blocks, lk, d),
             v.reshape(bsz * num_blocks, lk, d), ws,
             params["lift"]["kernel"], params["lift"]["bias"][None, :],
             params["pos_emb"], params["out_norm"]["scale"][None, :],
             params["out_norm"]["bias"][None, :],
             params["head"]["kernel"], params["head"]["bias"][None, :],
-            p=p, chunk=chunk, accurate=accurate, interpret=interpret)
+            p=p, chunk=n_real, accurate=accurate, interpret=interpret)
         return out.reshape(n, p)
 
     tokens = (x[..., None] @ params["lift"]["kernel"]

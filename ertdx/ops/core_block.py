@@ -249,85 +249,94 @@ def fused_core_block(x3, mods, k, v, w, *, p: int, chunk: int,
 def _core_stack_kernel(x_ref, mods_ref, k_ref, v_ref, wqkv_ref, wso_ref,
                        bso_ref, wcq_ref, wco_ref, bco_ref, w1_ref, b1_ref,
                        w2_ref, b2_ref, lw_ref, lb_ref, pe_ref, ons_ref,
-                       onb_ref, hw_ref, hb_ref, o_ref, a_scr, b_scr, *,
-                       p: int, chunk: int, tile_chains: int, nb: int,
-                       lk_valid: int, scale: float, accurate: bool):
+                       onb_ref, hw_ref, hb_ref, o_ref, *,
+                       p: int, chunk: int, outer: int, tile_chains: int,
+                       nb: int, lk_valid: int, scale: float,
+                       accurate: bool):
     """One program: `chunk` chains of one condition through the WHOLE core.
 
-    x arrives compact (chunk, p) — lift/pos-emb run in-kernel after a
-    one-hot-matmul relayout to (rows, d) (Mosaic-safe; CLAUDE.md), the
-    nb blocks ping-pong between two VMEM slabs, and the head collapses
-    back to a compact (chunk, p) output, so HBM never sees a (rows, d)
-    activation."""
+    The forward is CHAIN-LOCAL (self-attention sees only its own chain's
+    P tokens; cross-attention and the MLP are row-local), so the program
+    streams `outer`-chain tiles through a fori_loop — the flash-kernel
+    pattern (ops/attention.py:66-80) — with every activation living as a
+    VALUE in VMEM; no slabs, no scratch. x arrives compact (chunk, p):
+    lift/pos-emb run after a one-hot-matmul relayout (Mosaic-safe;
+    CLAUDE.md), and the head collapses back to (chunk, p), so HBM never
+    sees a (rows, d) activation. One program per condition: weights load
+    once per step, this condition's K/V once per program."""
     dot = functools.partial(_dot, accurate=accurate)
-    rows = chunk * p
+    rows_o = outer * p
     d = lw_ref.shape[-1]
 
-    ohl = (jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 0) // p
-           == jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 1)
+    ohl = (jax.lax.broadcasted_iota(jnp.int32, (rows_o, outer), 0) // p
+           == jax.lax.broadcasted_iota(jnp.int32, (rows_o, outer), 1)
            ).astype(jnp.float32)                  # [r, c] = r//p == c
-    ohr = (jax.lax.broadcasted_iota(jnp.int32, (rows, p), 0) % p
-           == jax.lax.broadcasted_iota(jnp.int32, (rows, p), 1)
+    ohr = (jax.lax.broadcasted_iota(jnp.int32, (rows_o, p), 0) % p
+           == jax.lax.broadcasted_iota(jnp.int32, (rows_o, p), 1)
            ).astype(jnp.float32)                  # [r, j] = r%p == j
-
-    # ---- lift + positional embedding, in VMEM ----
-    x_cp = x_ref[0].astype(jnp.float32)           # (chunk, p)
-    t1 = dot(ohl, x_cp)                           # (rows, p): row r//p
-    x_rows = jnp.sum(t1 * ohr, axis=1, keepdims=True)     # (rows, 1)
-    a_scr[:, :] = (x_rows * lw_ref[:, :] + lb_ref[:, :]
-                   + dot(ohr, pe_ref[:, :]))
-    cur, nxt = a_scr, b_scr
-
     rows_t = tile_chains * p
     rid = jax.lax.broadcasted_iota(jnp.int32, (rows_t, rows_t), 0) // p
     cid = jax.lax.broadcasted_iota(jnp.int32, (rows_t, rows_t), 1) // p
     same_chain = rid == cid
     mods = mods_ref[0]                            # (nb*6, d)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows_o, k_ref.shape[-2]), 1)
 
-    for i in range(nb):
-        s1, h1 = mods[6 * i:6 * i + 1, :], mods[6 * i + 1:6 * i + 2, :]
-        s2, h2 = mods[6 * i + 2:6 * i + 3, :], mods[6 * i + 3:6 * i + 4, :]
-        s3, h3 = mods[6 * i + 4:6 * i + 5, :], mods[6 * i + 5:6 * i + 6, :]
+    def tile_body(t, carry):
+        # ---- lift + positional embedding ----
+        x_cp = x_ref[0, pl.ds(t * outer, outer), :].astype(jnp.float32)
+        t1 = dot(ohl, x_cp)                       # (rows_o, p): row r//p
+        x_rows = jnp.sum(t1 * ohr, axis=1, keepdims=True)
+        cur = (x_rows * lw_ref[:, :] + lb_ref[:, :]
+               + dot(ohr, pe_ref[:, :]))          # (rows_o, d)
 
-        # stage 1: block-diagonal self-attention, per-tile qkv
-        for j in range(chunk // tile_chains):
-            xt = cur[pl.ds(j * rows_t, rows_t), :]
-            h = _ln(xt) * (1.0 + s1) + h1
-            qkv = dot(h, wqkv_ref[i])
-            q = qkv[:, :d] * scale
-            s = dot(q, qkv[:, d:2 * d], dims="nt")
-            s = jnp.where(same_chain, s, _NEG_INF)
+        for i in range(nb):
+            s1 = mods[6 * i:6 * i + 1, :]
+            h1 = mods[6 * i + 1:6 * i + 2, :]
+            s2 = mods[6 * i + 2:6 * i + 3, :]
+            h2 = mods[6 * i + 3:6 * i + 4, :]
+            s3 = mods[6 * i + 4:6 * i + 5, :]
+            h3 = mods[6 * i + 5:6 * i + 6, :]
+
+            # block-diagonal self-attention, per-sub-tile qkv
+            parts = []
+            for j in range(outer // tile_chains):
+                xt = cur[j * rows_t:(j + 1) * rows_t, :]
+                h = _ln(xt) * (1.0 + s1) + h1
+                qkv = dot(h, wqkv_ref[i])
+                q = qkv[:, :d] * scale
+                s = dot(q, qkv[:, d:2 * d], dims="nt")
+                s = jnp.where(same_chain, s, _NEG_INF)
+                m = jnp.max(s, axis=1, keepdims=True)
+                e = jnp.exp(s - m)
+                a = dot(e / jnp.sum(e, axis=1, keepdims=True),
+                        qkv[:, 2 * d:])
+                parts.append(xt + dot(a, wso_ref[i]) + bso_ref[i:i + 1, :])
+            x1 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
+            # folded cross-attention to this condition's K/V
+            h = _ln(x1) * (1.0 + s2) + h2
+            q = dot(h, wcq_ref[i]) * scale
+            s = dot(q, k_ref[i], dims="nt")       # (rows_o, lkp)
+            s = jnp.where(col < lk_valid, s, _NEG_INF)
             m = jnp.max(s, axis=1, keepdims=True)
             e = jnp.exp(s - m)
-            a = dot(e / jnp.sum(e, axis=1, keepdims=True), qkv[:, 2 * d:])
-            nxt[pl.ds(j * rows_t, rows_t), :] = (
-                xt + dot(a, wso_ref[i]) + bso_ref[i:i + 1, :])
-        cur, nxt = nxt, cur
+            a = dot(e / jnp.sum(e, axis=1, keepdims=True), v_ref[i])
+            x2 = x1 + dot(a, wco_ref[i]) + bco_ref[i:i + 1, :]
 
-        # stage 2: folded cross-attention to this condition's K/V
-        x1 = cur[:, :]
-        h = _ln(x1) * (1.0 + s2) + h2
-        q = dot(h, wcq_ref[i]) * scale
-        s = dot(q, k_ref[i], dims="nt")           # (rows, lkp)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < lk_valid, s, _NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - m)
-        a = dot(e / jnp.sum(e, axis=1, keepdims=True), v_ref[i])
-        x2 = x1 + dot(a, wco_ref[i]) + bco_ref[i:i + 1, :]
+            # MLP
+            h = _ln(x2) * (1.0 + s3) + h3
+            h = jax.nn.gelu(dot(h, w1_ref[i]) + b1_ref[i:i + 1, :],
+                            approximate=True)
+            cur = x2 + dot(h, w2_ref[i]) + b2_ref[i:i + 1, :]
 
-        # stage 3: MLP (slab-wide; hidden tile fits VMEM at these chunks)
-        h = _ln(x2) * (1.0 + s3) + h3
-        h = jax.nn.gelu(dot(h, w1_ref[i]) + b1_ref[i:i + 1, :],
-                        approximate=True)
-        nxt[:, :] = x2 + dot(h, w2_ref[i]) + b2_ref[i:i + 1, :]
-        cur, nxt = nxt, cur
+        # ---- out_norm + head + compact repack ----
+        tok = _ln(cur) * ons_ref[:, :] + onb_ref[:, :]
+        eps = dot(tok, hw_ref[:, :]) + hb_ref[:, :]     # (rows_o, 1)
+        out_cp = dot(ohl, eps * ohr, dims="tn")         # (outer, p)
+        o_ref[0, pl.ds(t * outer, outer), :] = out_cp.astype(o_ref.dtype)
+        return carry
 
-    # ---- out_norm + head + compact repack ----
-    tok = _ln(cur[:, :]) * ons_ref[:, :] + onb_ref[:, :]
-    eps = dot(tok, hw_ref[:, :]) + hb_ref[:, :]   # (rows, 1)
-    out_cp = dot(ohl, eps * ohr, dims="tn")       # (chunk, p) repack
-    o_ref[0] = out_cp.astype(o_ref.dtype)
+    jax.lax.fori_loop(0, chunk // outer, tile_body, 0)
 
 
 def fused_core_stack(x, mods, k, v, ws, lift_w, lift_b, pos_emb, on_scale,
@@ -344,8 +353,10 @@ def fused_core_stack(x, mods, k, v, ws, lift_w, lift_b, pos_emb, on_scale,
           w2 (nb,4d,d), b2 (nb,d)
     lift/pos/out_norm/head params close the full denoise_ensemble math.
 
-    HBM traffic per call is the compact x in/out (+ params once): the
-    (rows, d) activations never leave VMEM."""
+    chunk is usually the WHOLE per-condition realization count (the
+    in-kernel fori_loop streams `outer`-chain tiles), so the grid is one
+    program per condition. HBM traffic per call is the compact x in/out
+    (+ params once): the (rows, d) activations never leave VMEM."""
     g, chunk_, p_ = x.shape
     b = mods.shape[0]
     nb = ws["wqkv"].shape[0]
@@ -356,8 +367,10 @@ def fused_core_stack(x, mods, k, v, ws, lift_w, lift_b, pos_emb, on_scale,
     if lkp != lk:
         k = jnp.pad(k, ((0, 0), (0, lkp - lk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lkp - lk), (0, 0)))
-    tile_chains = 8 if chunk % 8 == 0 else chunk
-    rows = chunk * p
+    outer = pick_chunk(chunk, p)
+    if outer == 0 or chunk % outer:
+        raise ValueError(f"no valid tile for chunk={chunk}, p={p}")
+    tile_chains = 8 if outer % 8 == 0 else outer
 
     def xmap(i, j):
         return (i * n_chunks + j, 0, 0)
@@ -369,9 +382,11 @@ def fused_core_stack(x, mods, k, v, ws, lift_w, lift_b, pos_emb, on_scale,
         return pl.BlockSpec(arr.shape, lambda i, j: (0,) * arr.ndim,
                             memory_space=pltpu.VMEM)
 
+    rows = chunk * p
     kernel = functools.partial(
-        _core_stack_kernel, p=p, chunk=chunk, tile_chains=tile_chains,
-        nb=nb, lk_valid=lk, scale=1.0 / math.sqrt(d), accurate=accurate)
+        _core_stack_kernel, p=p, chunk=chunk, outer=outer,
+        tile_chains=tile_chains, nb=nb, lk_valid=lk,
+        scale=1.0 / math.sqrt(d), accurate=accurate)
     return pl.pallas_call(
         kernel,
         grid=(b, n_chunks),
@@ -390,8 +405,6 @@ def fused_core_stack(x, mods, k, v, ws, lift_w, lift_b, pos_emb, on_scale,
         out_specs=pl.BlockSpec((1, chunk, p), xmap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, chunk, p), x.dtype),
-        scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32),
-                        pltpu.VMEM((rows, d), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * g * rows * d * (3 * d + 2 * d + 8 * d
