@@ -34,10 +34,10 @@ from .common import get_timestep_embedding
 _LN_EPS = 1e-6   # flax nn.LayerNorm default
 
 # engage the fused-core path only above this TOTAL chain count
-# (n_realizations x condition batch). Measured on the chip (mega_ab.py):
-# 32,000 chains -> 2.09x vs XLA; 1,024 chains -> 0.91x. 8,192 is the
-# conservative crossover bound pending a finer sweep.
-MIN_TOTAL_CHAINS = 8192
+# (n_realizations x condition batch). Measured DDIM-50 sweep on the chip
+# (mega_crossover.py + mega_ab.py): 2,048 chains -> 0.82x (XLA wins),
+# 4,096 -> 1.26x, 8,192 -> 1.86x, 32,000 -> 2.44x.
+MIN_TOTAL_CHAINS = 4096
 
 
 def extract_core_weights(params, i: int) -> dict:
