@@ -224,7 +224,10 @@ def _measure_ddim_1000_ensemble(model_name: str) -> dict:
         _ = float(out[0, 0, 0])
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
-    flops = _flops_of(run, params, cond, jax.random.key(2), sch)
+    # FLOPs: XLA cost analysis counts a lax.scan BODY once (not x steps),
+    # so analyze ONE denoise call and multiply by the step count; the
+    # condition encoder runs once per ensemble.
+    flops = _sample_flops(model_name, n_real=1000, steps=50)
     rec = {"ddim50_1000member_ensemble_seconds": dt,
            "ddim50_1000member_chains_per_sec": 1000 * REF_BATCH / dt,
            "sample_flops_per_ensemble": flops}
@@ -232,6 +235,30 @@ def _measure_ddim_1000_ensemble(model_name: str) -> dict:
     if flops == flops and peak == peak:
         rec["mfu_sample"] = flops / dt / peak
     return rec
+
+
+def _sample_flops(model_name: str, n_real: int, steps: int) -> float:
+    """Per-ensemble FLOPs = encoder (once) + denoise-call x steps."""
+    model, sch, state = _build(model_name)
+    cond = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(REF_BATCH, REF_LEN, REF_CH)),
+        jnp.float32)
+
+    enc = jax.jit(lambda p, c: model.apply(
+        {"params": p}, c, method=model.encode_condition))
+    f_enc = _flops_of(enc, state.params, cond)
+    ctx = enc(state.params, cond)
+
+    if hasattr(model, "denoise_ensemble"):
+        x = jnp.zeros((n_real * REF_BATCH, PARAM_DIM), jnp.float32)
+        t = jnp.zeros((n_real * REF_BATCH,), jnp.int32)
+        den = jax.jit(lambda p, x, t, c: model.apply(
+            {"params": p}, x, t, c, n_real,
+            method=model.denoise_ensemble))
+        f_den = _flops_of(den, state.params, x, t, ctx)
+    else:
+        f_den = float("nan")
+    return f_enc + steps * f_den
 
 
 def main() -> int:
