@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.core_block import (fused_core_block, fused_core_stack,
                               pick_chunk)
@@ -60,10 +61,12 @@ def mega_plan(model, n_real: int, batch: int = 1,
     """Static-gate the fused-core path; None -> use the flax/XLA path.
 
     Requires: the flag, a TPU backend, single-head f32 core, lane-aligned
-    hidden dim, a valid chain chunking, >= MIN_TOTAL_CHAINS total chains
-    (below it the XLA path measures ahead), and no mesh (the sharded
-    ensemble stays on the GSPMD/XLA path)."""
-    if not getattr(model, "ensemble_mega", False) or mesh is not None:
+    hidden dim, a valid chain chunking, and >= MIN_TOTAL_CHAINS chains
+    PER DEVICE (below it the XLA path measures ahead). With a mesh, the
+    condition batch must divide the 'data' axis — conditions then shard
+    via mega_denoise_ensemble_sharded (no collectives in the hot loop);
+    incompatible meshes fall back to the GSPMD/XLA path."""
+    if not getattr(model, "ensemble_mega", False):
         return None
     if getattr(model, "core_heads", 0) != 1:
         return None
@@ -71,7 +74,18 @@ def mega_plan(model, n_real: int, batch: int = 1,
         return None
     if jax.default_backend() != "tpu" or model.hidden_dim % 128:
         return None
-    if n_real * batch < MIN_TOTAL_CHAINS:
+    local_batch = batch
+    if mesh is not None:
+        try:
+            n_d = int(dict(mesh.shape).get("data", 0))
+            n_other = int(np.prod([s for a, s in dict(mesh.shape).items()
+                                   if a != "data"]))
+        except Exception:
+            return None
+        if n_d <= 0 or batch % n_d or n_other != 1:
+            return None
+        local_batch = batch // n_d
+    if n_real * local_batch < MIN_TOTAL_CHAINS:
         return None
     chunk = pick_chunk(n_real, model.param_dim)
     if chunk == 0:
@@ -164,3 +178,34 @@ def mega_denoise_ensemble(params, x, t, cond_ctx, n_real: int, *, p: int,
               * params["out_norm"]["scale"] + params["out_norm"]["bias"])
     return (tokens @ params["head"]["kernel"]
             + params["head"]["bias"])[..., 0]
+
+
+def mega_denoise_ensemble_sharded(params, x, t, cond_ctx, n_real: int,
+                                  mesh, **plan):
+    """Multi-chip fused-core denoise: conditions sharded over 'data'.
+
+    Posterior conditions are embarrassingly parallel, so each device runs
+    the fused-core kernel on its local condition block via shard_map —
+    no collectives in the hot loop (the only cross-device communication
+    is GSPMD's initial resharding of x). Requires the condition batch to
+    divide the mesh 'data' axis; params replicate.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    ct, cv = cond_ctx
+
+    def local(params, x, t, ct, cv):
+        return mega_denoise_ensemble(params, x, t, (ct, cv), n_real,
+                                     **plan)
+
+    spec_d = PartitionSpec("data")
+    kw = dict(mesh=mesh,
+              in_specs=(PartitionSpec(), spec_d, spec_d, spec_d, spec_d),
+              out_specs=spec_d)
+    try:
+        # pallas_call doesn't annotate varying-mesh-axes metadata
+        f = shard_map(local, check_vma=False, **kw)
+    except TypeError:                       # older jax spells it check_rep
+        f = shard_map(local, check_rep=False, **kw)
+    return f(params, x, t, ct, cv)

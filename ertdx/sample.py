@@ -23,7 +23,8 @@ import numpy as np
 from . import transforms
 from .configs import SampleConfig
 from .diffusion import DiffusionSchedule, sample_ancestral, sample_ddim
-from .models.mega import mega_denoise_ensemble, mega_plan
+from .models.mega import (mega_denoise_ensemble,
+                          mega_denoise_ensemble_sharded, mega_plan)
 from .params import ParameterSpace
 from .parallel.mesh import batch_sharding, replicated
 
@@ -95,9 +96,17 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
         cond_ctx = model.apply({"params": params}, condition,
                                method=model.encode_condition)
         if mega is not None:
-            def denoise_fn(x, t):
-                return mega_denoise_ensemble(params, x, t, cond_ctx,
-                                             n_realizations, **mega)
+            if mesh is not None:
+                # conditions shard over 'data'; each device runs the
+                # fused-core kernel on its local block (no collectives)
+                def denoise_fn(x, t):
+                    return mega_denoise_ensemble_sharded(
+                        params, x, t, cond_ctx, n_realizations, mesh,
+                        **mega)
+            else:
+                def denoise_fn(x, t):
+                    return mega_denoise_ensemble(params, x, t, cond_ctx,
+                                                 n_realizations, **mega)
 
             u = sampler(denoise_fn, key, (n_realizations * B, P),
                         schedule=schedule)

@@ -186,3 +186,68 @@ def test_dryrun_multichip_driver_contract():
         cwd=repo, env=env, capture_output=True, text=True, timeout=560)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip(4)" in out.stdout and "OK" in out.stdout
+
+
+def test_sharded_mega_denoise_matches_unsharded():
+    """mega_denoise_ensemble_sharded (shard_map over 'data', interpreter
+    kernels) == the unsharded fused path == the flax path."""
+    import numpy as np
+    from ertdx.models.condunet import CondUNet
+    from ertdx.models.mega import (mega_denoise_ensemble,
+                                   mega_denoise_ensemble_sharded)
+    from ertdx.parallel.mesh import make_mesh
+
+    model = CondUNet(param_dim=29, hidden_dim=32, cond_channels=4,
+                     base_width=16, depth=2, num_blocks=2, num_heads=2,
+                     core_heads=1)
+    rng = np.random.default_rng(3)
+    B, R = 4, 16
+    cond = jnp.asarray(rng.normal(size=(B, 96, 4)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B * R, 29)), jnp.float32)
+    t = jnp.full((B * R,), 5, jnp.int32)
+    variables = model.init(jax.random.key(0), x[:B], t[:B], cond)
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.key(9), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.05 * jax.random.normal(k, l.shape)
+                  for l, k in zip(leaves, keys)])
+    ctx = model.apply({"params": params}, cond,
+                      method=model.encode_condition)
+    plan = dict(p=29, d=32, num_blocks=2, chunk=16, interpret=True)
+
+    ref = model.apply({"params": params}, x, t, ctx, R,
+                      method=model.denoise_ensemble)
+    un = mega_denoise_ensemble(params, x, t, ctx, R, **plan)
+    mesh = make_mesh(data=4)
+    sh = mega_denoise_ensemble_sharded(params, x, t, ctx, R, mesh, **plan)
+    np.testing.assert_allclose(np.asarray(un), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(un),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mega_plan_mesh_gate():
+    """mega_plan engages a compatible mesh and declines incompatible ones
+    (the gate is per-device chains; TPU-backend requirement still applies
+    on CPU, so force the backend check via monkeypatching is avoided —
+    assert only the mesh-divisibility logic through the CPU None path)."""
+    from ertdx.models.condunet import CondUNet
+    from ertdx.models import mega as mega_mod
+    from ertdx.parallel.mesh import make_mesh
+
+    kw = dict(param_dim=29, hidden_dim=128, cond_channels=4, base_width=16,
+              depth=2, num_blocks=2, num_heads=2, core_heads=1,
+              ensemble_mega=True)
+    model = CondUNet(**kw)
+    mesh = make_mesh(data=4)
+    orig = mega_mod.jax.default_backend
+    mega_mod.jax.default_backend = lambda: "tpu"
+    try:
+        # batch 32 / data=4 -> local batch 8; 1000*8 clears the gate
+        assert mega_mod.mega_plan(model, 1000, 32, mesh) is not None
+        # batch not divisible by the data axis -> XLA path
+        assert mega_mod.mega_plan(model, 1000, 30, mesh) is None
+        # below the per-device crossover -> XLA path
+        assert mega_mod.mega_plan(model, 64, 8, mesh) is None
+    finally:
+        mega_mod.jax.default_backend = orig
