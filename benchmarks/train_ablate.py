@@ -1,29 +1,33 @@
 """Where does the CondUNet train step spend its time? (reference grid)
 
-Times forward / forward+backward of each stage separately, scan-amortized
-with host-read syncs (CLAUDE.md protocol). Run on the TPU host:
+INTERLEAVED protocol: all variants compile first, then timed dispatches
+alternate round-robin so the shared chip's ~2x drift hits every variant
+equally (the v1 sequential protocol produced incoherent numbers, e.g. a
+stage exceeding the full step). Work is scan-amortized per dispatch with
+host-read syncs (CLAUDE.md). Run on the TPU host:
 `python benchmarks/train_ablate.py`.
 
-Stages at batch 32, condition 4693x14, D=128:
-  encoder    — patchify stem + ResBlocks + downs + flash attention
-  core       — 4 AdaLN transformer blocks over the 29 parameter tokens
-  full       — whole model fwd / train step (fwd+bwd+Adam)
+Variants at batch 32, condition 4693x14, D=128:
+  encoder_fwd      — patchify stem + ResBlocks + downs + flash attention
+  encoder_fwdbwd   — encoder forward + backward
+  core_fwd         — 4 AdaLN transformer blocks over the 29 tokens
+  core_fwdbwd      — core forward + backward (ctx fixed)
+  full_fwd         — whole model forward
+  full_train_step  — fwd + bwd + Adam (the headline unit)
 """
 from __future__ import annotations
 
 import dataclasses
 import json
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from kernel_bench import scan_time  # noqa: E402  (sibling module)
 
 from ertdx.configs import ModelConfig
 from ertdx.diffusion import get_diffusion_schedule
@@ -31,6 +35,10 @@ from ertdx.models import build_model
 from ertdx.train import create_train_state, make_train_step
 
 B, L, C, P, T = 32, 4693, 14, 29, 500
+# the remote backend's dispatch+sync round trip is ~40 ms: 16 iterations
+# per dispatch left every variant pinned at ~2.3 ms/iter of pure
+# overhead — 256 amortizes it below 0.2 ms/iter
+N_ITER = 256
 
 
 def main() -> int:
@@ -46,72 +54,92 @@ def main() -> int:
     tt = jnp.zeros((B,), jnp.int32)
     ctx = model.apply({"params": params}, cond,
                       method=model.encode_condition)
-    out = {}
-
-    def encoder_fwd():
-        def body(key):
-            c = cond + 1e-9 * jax.random.normal(key, (1, 1, C))
-            toks, vec = model.apply({"params": params}, c,
-                                    method=model.encode_condition)
-            return jnp.mean(vec)
-        return body
-
-    def encoder_fwdbwd():
-        def body(key):
-            c = cond + 1e-9 * jax.random.normal(key, (1, 1, C))
-
-            def loss(p):
-                toks, vec = model.apply({"params": p}, c,
-                                        method=model.encode_condition)
-                return jnp.mean(vec ** 2) + jnp.mean(toks ** 2)
-            return jax.grad(loss)(params)["encoder"][
-                "Dense_0"]["kernel"].ravel()[0]
-        return body
-
-    def core_fwd():
-        def body(key):
-            x = x0 + 1e-9 * jax.random.normal(key, (1, P))
-            eps = model.apply({"params": params}, x, tt, ctx,
-                              method=model.denoise)
-            return jnp.mean(eps)
-        return body
-
-    def core_fwdbwd():
-        def body(key):
-            x = x0 + 1e-9 * jax.random.normal(key, (1, P))
-
-            def loss(p):
-                eps = model.apply({"params": p}, x, tt, ctx,
-                                  method=model.denoise)
-                return jnp.mean(eps ** 2)
-            return jax.grad(loss)(params)["lift"]["kernel"].ravel()[0]
-        return body
-
-    def full_fwd():
-        def body(key):
-            x = x0 + 1e-9 * jax.random.normal(key, (1, P))
-            eps = model.apply({"params": params}, x, tt, cond)
-            return jnp.mean(eps)
-        return body
-
     step = make_train_step(model.apply, sch, donate=False)
+    w = jnp.ones(B)
 
-    def full_step():
-        w = jnp.ones(B)
+    def scanned(body):
+        """Scan with a CARRIED scalar the body must consume — without it
+        XLA hoists every loop-invariant stage out of the scan (measured:
+        full_fwd < encoder_fwd because the whole encoder was hoisted)."""
+        @jax.jit
+        def run(key, *ops):
+            def st(c, k):
+                out = body(k, c, *ops)
+                return out, out
+            _, outs = jax.lax.scan(st, 0.0, jax.random.split(key, N_ITER))
+            return outs
+        return run
 
-        def body(key):
-            _, loss = step(state, x0, cond, w, key)
-            return loss
-        return body
+    def enc_fwd(key, c, params, cond):
+        cc = cond + 1e-12 * c            # carry-dependence: no hoisting
+        toks, vec = model.apply({"params": params}, cc,
+                                method=model.encode_condition)
+        return jnp.mean(vec)
 
-    for name, mk, iters in (("encoder_fwd", encoder_fwd, 32),
-                            ("encoder_fwdbwd", encoder_fwdbwd, 16),
-                            ("core_fwd", core_fwd, 32),
-                            ("core_fwdbwd", core_fwdbwd, 16),
-                            ("full_fwd", full_fwd, 32),
-                            ("full_train_step", full_step, 16)):
-        out[f"{name}_ms"] = round(scan_time(mk, n_iter=iters) * 1e3, 3)
-        print(json.dumps({name: out[f"{name}_ms"]}), flush=True)
+    def enc_fwdbwd(key, c, params, cond):
+        cc = cond + 1e-12 * c
+
+        def loss(p):
+            toks, vec = model.apply({"params": p}, cc,
+                                    method=model.encode_condition)
+            return jnp.mean(vec ** 2) + jnp.mean(toks ** 2)
+        return jax.grad(loss)(params)["encoder"][
+            "Dense_0"]["kernel"].ravel()[0]
+
+    def core_fwd(key, c, params, x0, ctx0, ctx1):
+        x = x0 + 1e-12 * c
+        eps = model.apply({"params": params}, x, tt, (ctx0, ctx1),
+                          method=model.denoise)
+        return jnp.mean(eps)
+
+    def core_fwdbwd(key, c, params, x0, ctx0, ctx1):
+        x = x0 + 1e-12 * c
+
+        def loss(p):
+            eps = model.apply({"params": p}, x, tt, (ctx0, ctx1),
+                              method=model.denoise)
+            return jnp.mean(eps ** 2)
+        return jax.grad(loss)(params)["lift"]["kernel"].ravel()[0]
+
+    def full_fwd(key, c, params, x0, cond):
+        x = x0 + 1e-12 * c
+        cc = cond + 1e-12 * c
+        eps = model.apply({"params": params}, x, tt, cc)
+        return jnp.mean(eps)
+
+    @jax.jit
+    def full_step_run(key, state, x0, cond, w):
+        # the REAL training recurrence: state threads through the scan
+        def st(s, k):
+            s, loss = step(s, x0, cond, w, k)
+            return s, loss
+        _, losses = jax.lax.scan(st, state,
+                                 jax.random.split(key, N_ITER))
+        return losses
+
+    variants = {
+        "encoder_fwd": (scanned(enc_fwd), (params, cond)),
+        "encoder_fwdbwd": (scanned(enc_fwdbwd), (params, cond)),
+        "core_fwd": (scanned(core_fwd), (params, x0, ctx[0], ctx[1])),
+        "core_fwdbwd": (scanned(core_fwdbwd), (params, x0, ctx[0], ctx[1])),
+        "full_fwd": (scanned(full_fwd), (params, x0, cond)),
+        "full_train_step": (full_step_run, (state, x0, cond, w)),
+    }
+
+    for name, (run, ops) in variants.items():     # compile + warm all
+        o = run(jax.random.key(0), *ops)
+        _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+        print(json.dumps({f"{name}_compiled": True}), flush=True)
+
+    times = {k: [] for k in variants}
+    for rep in range(5):                          # interleaved rounds
+        for name, (run, ops) in variants.items():
+            t0 = time.perf_counter()
+            o = run(jax.random.key(1 + rep), *ops)
+            _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+            times[name].append((time.perf_counter() - t0) / N_ITER)
+    out = {f"{k}_ms": round(sorted(v)[len(v) // 2] * 1e3, 3)
+           for k, v in times.items()}
     print(json.dumps({"device": jax.devices()[0].device_kind, **out}))
     return 0
 
