@@ -150,18 +150,35 @@ def cmd_sample(args) -> int:
         # the restore template must carry an EMA slot to deserialize it
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, ema_decay=0.999))
+    if not args.checkpoint_dir and not getattr(args, "torch_checkpoint",
+                                               None):
+        raise SystemExit(
+            "one of --checkpoint-dir / --torch-checkpoint is required")
     sim_param = np.load(args.params)
     ert = np.load(args.ert)
-    try:
-        state, meta, scalers = load_best_model(args.checkpoint_dir, cfg,
-                                               None)
-    except ValueError as e:
+    if getattr(args, "torch_checkpoint", None):
+        # reference .pth state dict (ConditionalDiffusionModel) — carry
+        # the trained weights over; scalers refit from the data arrays
+        # exactly as the reference's own inference cells do
+        from .compat import torch_reference_params
         if args.ema:
-            raise SystemExit(
-                "--ema: this checkpoint has no EMA parameters; train with "
-                "--ema-decay > 0 first") from e
-        raise
-    sample_params = state.ema_params if args.ema else state.params
+            raise SystemExit("--ema has no meaning for --torch-checkpoint")
+        if cfg.model.name != "refmlp":
+            raise SystemExit("--torch-checkpoint maps onto the reference "
+                             "architecture: use --model refmlp")
+        sample_params = torch_reference_params(args.torch_checkpoint)
+        scalers = {}
+    else:
+        try:
+            state, meta, scalers = load_best_model(args.checkpoint_dir,
+                                                   cfg, None)
+        except ValueError as e:
+            if args.ema:
+                raise SystemExit(
+                    "--ema: this checkpoint has no EMA parameters; train "
+                    "with --ema-decay > 0 first") from e
+            raise
+        sample_params = state.ema_params if args.ema else state.params
     ds = data_lib.prepare_dataset(sim_param, ert,
                                   param_scaler=scalers.get("param_scaler"),
                                   ert_scaler=scalers.get("ert_scaler"))
@@ -336,7 +353,11 @@ def build_parser() -> argparse.ArgumentParser:
     sa = sub.add_parser("sample", help="posterior ensemble over the test set")
     sa.add_argument("--params", required=True)
     sa.add_argument("--ert", required=True)
-    sa.add_argument("--checkpoint-dir", required=True)
+    sa.add_argument("--checkpoint-dir", default=None)
+    sa.add_argument("--torch-checkpoint", default=None,
+                    help="reference .pth state dict "
+                         "(ConditionalDiffusionModel) — sample with "
+                         "weights trained by the reference scripts")
     sa.add_argument("--preset", default="ref_default")
     sa.add_argument("--model", choices=["refmlp", "condunet"], default=None)
     sa.add_argument("--realizations", type=int, default=50)
