@@ -259,8 +259,20 @@ def cmd_plot(args) -> int:
 def cmd_serve(args) -> int:
     from .serve import PosteriorService, serve
     cfg = _load_cfg(args)
-    svc = PosteriorService(args.checkpoint_dir, cfg,
-                           max_batch=args.max_batch)
+    if getattr(args, "torch_checkpoint", None):
+        if not (args.params and args.ert):
+            raise SystemExit("--torch-checkpoint needs --params/--ert "
+                             "(scalers are refit from the training data, "
+                             "as the reference's inference cells do)")
+        svc = PosteriorService.from_torch(
+            args.torch_checkpoint, cfg, np.load(args.params),
+            np.load(args.ert), max_batch=args.max_batch)
+    elif not args.checkpoint_dir:
+        raise SystemExit(
+            "one of --checkpoint-dir / --torch-checkpoint is required")
+    else:
+        svc = PosteriorService(args.checkpoint_dir, cfg,
+                               max_batch=args.max_batch)
     if args.warmup:
         print("compiling serving program...", flush=True)
         svc.warmup(n_realizations=args.realizations, scfg=cfg.sample)
@@ -385,7 +397,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     sv = sub.add_parser("serve", help="posterior-inversion HTTP service "
                                       "over a checkpoint")
-    sv.add_argument("--checkpoint-dir", required=True)
+    sv.add_argument("--checkpoint-dir", default=None)
+    sv.add_argument("--torch-checkpoint", default=None,
+                    help="serve a reference .pth state dict (needs "
+                         "--params/--ert to refit the scalers)")
+    sv.add_argument("--params", default=None)
+    sv.add_argument("--ert", default=None)
     sv.add_argument("--preset", default="ref_default")
     sv.add_argument("--model", choices=["refmlp", "condunet"], default=None)
     sv.add_argument("--cond-length", type=int, default=None)

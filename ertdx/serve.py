@@ -45,17 +45,47 @@ class PosteriorService:
 
     def __init__(self, checkpoint_dir: str, cfg: ExperimentConfig,
                  max_batch: int = 8, mesh=None):
+        state, meta, scalers = load_best_model(checkpoint_dir, cfg)
+        params = state.ema_params if (
+            cfg.train.ema_decay > 0.0 and state.ema_params is not None
+        ) else state.params
+        meta = {k: meta[k] for k in ("epoch", "best_val_loss", "model")
+                if k in meta}
+        self._init_common(cfg, params, meta, scalers["param_scaler"],
+                          scalers["ert_scaler"], max_batch, mesh)
+
+    @classmethod
+    def from_torch(cls, torch_checkpoint, cfg: ExperimentConfig,
+                   sim_param: np.ndarray, ert_sim: np.ndarray,
+                   max_batch: int = 8, mesh=None) -> "PosteriorService":
+        """Serve weights trained by the REFERENCE scripts (`.pth` state
+        dict -> ertdx.compat). Scalers are refit from the training data
+        arrays exactly as the reference's own inference cells do
+        (ERT_Conditional_Diffusion.py:233-261); cfg.model must be the
+        reference architecture (refmlp)."""
+        from .compat import torch_reference_params
+
+        if cfg.model.name != "refmlp":
+            raise ValueError("from_torch maps onto the reference "
+                             "architecture: cfg.model.name must be "
+                             "'refmlp'")
+        ds = data_lib.prepare_dataset(np.asarray(sim_param),
+                                      np.asarray(ert_sim))
+        self = cls.__new__(cls)
+        self._init_common(cfg, torch_reference_params(torch_checkpoint),
+                          {"model": "refmlp (torch import)"},
+                          ds.param_scaler, ds.ert_scaler, max_batch, mesh)
+        return self
+
+    def _init_common(self, cfg, params, meta, param_scaler, ert_scaler,
+                     max_batch, mesh):
         self.cfg = cfg
         self.max_batch = int(max_batch)
         self.mesh = mesh
-        state, meta, scalers = load_best_model(checkpoint_dir, cfg)
-        self.params = state.ema_params if (
-            cfg.train.ema_decay > 0.0 and state.ema_params is not None
-        ) else state.params
-        self.meta = {k: meta[k] for k in ("epoch", "best_val_loss", "model")
-                     if k in meta}
-        self.param_scaler = scalers["param_scaler"]
-        self.ert_scaler = scalers["ert_scaler"]
+        self.params = params
+        self.meta = meta
+        self.param_scaler = param_scaler
+        self.ert_scaler = ert_scaler
         self.model = build_model(cfg.model)
         self.schedule = get_diffusion_schedule(cfg.diffusion.T)
         self.space = ParameterSpace()

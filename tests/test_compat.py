@@ -121,3 +121,33 @@ def test_cli_sample_with_torch_checkpoint(tmp_path):
     assert rc == 0
     pred = np.load(out)
     assert pred.shape[0] == 4 and np.isfinite(pred).all()
+
+
+def test_serve_from_torch_checkpoint(tmp_path):
+    """PosteriorService.from_torch answers posterior queries with
+    reference-trained weights."""
+    import dataclasses
+    from ertdx import configs
+    from ertdx.doe import SurrogateDataGenerator
+    from ertdx.serve import PosteriorService
+
+    torch.manual_seed(10)
+    tm = _TorchRef()
+    pth = os.path.join(tmp_path, "best_model.pth")
+    torch.save(tm.state_dict(), pth)
+
+    n = 32
+    sim_param = SurrogateDataGenerator(seed=2).generate_training_samples(
+        n, "sobol")[..., None]
+    ert = np.random.default_rng(2).normal(
+        50.0, 10.0, size=(n, L, C)).astype(np.float32)
+    cfg = configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=20),
+        model=dataclasses.replace(configs.ModelConfig(), name="refmlp",
+                                  cond_length=L, cond_channels=C))
+    svc = PosteriorService.from_torch(pth, cfg, sim_param, ert,
+                                      max_batch=2)
+    out = svc.posterior(ert[:2, :, :], n_realizations=3, seed=1)
+    assert len(out["mean"]) == 2 and len(out["mean"][0]) == 29
+    assert np.isfinite(np.asarray(out["mean"])).all()
+    assert out["n_realizations"] == 3
