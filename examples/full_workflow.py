@@ -74,7 +74,9 @@ def main(argv=None) -> int:
     space = ParameterSpace()
 
     # ---- 1. data ----------------------------------------------------------
-    if args.synthetic:
+    if args.synthetic or not (args.params and args.ert):
+        if not args.synthetic:
+            print("no --params/--ert given: using synthetic data")
         sim_param, ert_sim = make_synthetic()
     else:
         sim_param = np.load(args.params)   # (N, 29, 1)
