@@ -15,6 +15,37 @@
 #include <cstdlib>
 #include <cstring>
 #include <cctype>
+#include <atomic>
+#include <functional>
+#include <thread>
+#include <vector>
+
+static long run_pool(long n_files, long n_threads,
+                     const std::function<long(long)>& job) {
+    if (n_threads <= 0) {
+        n_threads = (long)std::thread::hardware_concurrency();
+        if (n_threads <= 0) n_threads = 4;
+    }
+    if (n_threads > n_files) n_threads = n_files;
+    std::atomic<long> next(0);
+    std::atomic<long> fail(0);   // 0 = ok, else 1-based failing index
+    auto worker = [&]() {
+        for (;;) {
+            long i = next.fetch_add(1);
+            if (i >= n_files || fail.load()) break;
+            if (job(i) < 0) {
+                long expected = 0;
+                fail.compare_exchange_strong(expected, i + 1);
+                break;
+            }
+        }
+    };
+    std::vector<std::thread> pool;
+    for (long t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return fail.load() ? -fail.load() : 0;
+}
+
 
 extern "C" {
 
@@ -62,6 +93,37 @@ long srv_read_column(const char* path, long skip_header, long usecols,
     }
     std::fclose(f);
     return n;
+}
+
+// ---------------------------------------------------------------------------
+// Threaded batch ingest: the training-set build parses thousands of files
+// (reference: a serial np.genfromtxt loop, Generate_ERT_utils.py:203-224).
+// Files are independent, so a work-stealing thread pool parses them
+// concurrently. Two phases because row counts vary per survey:
+//   srv_count_batch(paths, n, skip, counts, threads)      -> 0 / -(i+1)
+//   srv_read_batch(paths, n, skip, col, out, offsets, counts, threads)
+//     each file i parses into out[offsets[i] .. offsets[i]+counts[i])
+//     returns 0, or -(i+1) naming the first failing file.
+// ---------------------------------------------------------------------------
+
+long srv_count_batch(const char** paths, long n_files, long skip_header,
+                     long* counts, long n_threads) {
+    return run_pool(n_files, n_threads, [&](long i) -> long {
+        long n = srv_count_rows(paths[i], skip_header);
+        if (n < 0) return -1;
+        counts[i] = n;
+        return 0;
+    });
+}
+
+long srv_read_batch(const char** paths, long n_files, long skip_header,
+                    long usecols, double* out, const long* offsets,
+                    const long* counts, long n_threads) {
+    return run_pool(n_files, n_threads, [&](long i) -> long {
+        long got = srv_read_column(paths[i], skip_header, usecols,
+                                   out + offsets[i], counts[i]);
+        return got == counts[i] ? 0 : -1;
+    });
 }
 
 }  // extern "C"

@@ -97,8 +97,14 @@ def gather_srv_data(prefix: str, directory: str = ".",
             f"no '{prefix}*.srv' files in {directory!r}")
     times = [_srv_time(f, fmt) for f in fnames]
     order = np.argsort(times)
-    data = [read_srv_file(os.path.join(directory, fnames[i]), fmt)
-            for i in order]
+    paths = [os.path.join(directory, fnames[i]) for i in order]
+    # C++ thread-pool batch parse (csrc/srv_reader.cpp); per-file /
+    # numpy fallback preserves behavior when the extension is absent
+    from .utils import srv_native
+    batch = srv_native.read_srv_batch(paths, fmt.skip_header, fmt.usecols)
+    if batch is not None:
+        return batch
+    data = [read_srv_file(p, fmt) for p in paths]
     return np.array(data).flatten()
 
 

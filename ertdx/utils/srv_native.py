@@ -59,3 +59,44 @@ def read_srv_column(path: str, skip_header: int,
     if got < 0:
         return None
     return out[:got]
+
+
+def read_srv_batch(paths, skip_header: int,
+                   usecols: int) -> Optional[np.ndarray]:
+    """Parse MANY files with the C++ thread pool; returns the flat
+    concatenation of every file's column (file order preserved), or None
+    to signal the per-file/numpy fallback."""
+    lib = _load()
+    if lib is None or not paths:
+        return None
+    if not hasattr(lib, "srv_count_batch"):      # stale .so: rebuild csrc
+        return None
+    lib.srv_count_batch.restype = ctypes.c_long
+    lib.srv_count_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.c_long]
+    lib.srv_read_batch.restype = ctypes.c_long
+    lib.srv_read_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_long]
+
+    n = len(paths)
+    enc = [str(p).encode() for p in paths]
+    arr = (ctypes.c_char_p * n)(*enc)
+    counts = np.zeros(n, dtype=np.int64)
+    counts_p = counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
+    if lib.srv_count_batch(arr, n, skip_header, counts_p, 0) != 0:
+        return None
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    out = np.empty(int(counts.sum()), dtype=np.float64)
+    rc = lib.srv_read_batch(
+        arr, n, skip_header, usecols,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        counts_p, 0)
+    if rc != 0:
+        return None
+    return out

@@ -71,3 +71,24 @@ def test_gather_uses_native_and_matches(tmp_path, native):
         np.genfromtxt(tmp_path / "pref-E1-20d.srv", skip_header=3, usecols=5),
     ])
     np.testing.assert_allclose(out, ref, rtol=0, atol=0)
+
+
+def test_batch_reader_matches_per_file(tmp_path, native):
+    """Threaded batch parse == the per-file path, varying row counts."""
+    paths = []
+    for i, rows in enumerate((7, 31, 1, 64)):
+        p = tmp_path / f"b{i}.srv"
+        _write(p, header=2, rows=rows)
+        paths.append(str(p))
+    batch = native.read_srv_batch(paths, 2, 5)
+    assert batch is not None
+    per_file = np.concatenate(
+        [native.read_srv_column(p, 2, 5) for p in paths])
+    np.testing.assert_array_equal(batch, per_file)
+
+
+def test_batch_reader_bad_file_falls_back(tmp_path, native):
+    good = tmp_path / "g.srv"
+    _write(good, header=1, rows=4)
+    assert native.read_srv_batch(
+        [str(good), str(tmp_path / "missing.srv")], 1, 5) is None
