@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ertdx.ops.attention import (flash_attention, flash_attention_interpret,
                                  reference_attention)
@@ -388,3 +389,44 @@ def test_mega_plan_gates():
     assert mega_plan(CondUNet(**kw), 16, 2) is None
     # mesh-sharded ensembles stay on the GSPMD path
     assert mega_plan(CondUNet(**kw), 16, big, mesh=object()) is None
+
+
+@pytest.mark.parametrize("p,n_real,num_blocks,d", [
+    (13, 24, 3, 32),     # prime token count, 8-tile path, odd depth
+    (7, 10, 1, 64),      # single-tile path, single block
+    (29, 8, 4, 32),      # flagship token count, minimum 8-tile chunk
+])
+def test_mega_denoise_odd_shapes(p, n_real, num_blocks, d):
+    """Interpret-mode parity across awkward (P, R, depth, D) combos —
+    guards the one-hot relayouts, tile masks, and kv padding against
+    shape regressions."""
+    from ertdx.models.condunet import CondUNet
+    from ertdx.models.mega import mega_denoise_ensemble
+    from ertdx.ops.core_block import pick_chunk
+
+    model = CondUNet(param_dim=p, hidden_dim=d, cond_channels=3,
+                     base_width=16, depth=2, num_blocks=num_blocks,
+                     num_heads=2, core_heads=1)
+    rng = np.random.default_rng(p * 100 + n_real)
+    B = 3
+    cond = jnp.asarray(rng.normal(size=(B, 40, 3)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B * n_real, p)), jnp.float32)
+    t = jnp.full((B * n_real,), 3, jnp.int32)
+    variables = model.init(jax.random.key(0), x[:B], t[:B], cond)
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.key(1), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.05 * jax.random.normal(k, l.shape)
+                  for l, k in zip(leaves, keys)])
+    ctx = model.apply({"params": params}, cond,
+                      method=model.encode_condition)
+    ref = model.apply({"params": params}, x, t, ctx, n_real,
+                      method=model.denoise_ensemble)
+    chunk = pick_chunk(n_real, p)
+    assert chunk > 0
+    for stack in (True, False):
+        out = mega_denoise_ensemble(params, x, t, ctx, n_real, p=p, d=d,
+                                    num_blocks=num_blocks, chunk=chunk,
+                                    stack=stack, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
