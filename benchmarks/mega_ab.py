@@ -101,7 +101,15 @@ def _runner(variant: str, scfg: SampleConfig, n_real: int):
     else:
         sample_mod.mega_plan = plan0
     sample_mod._ENSEMBLE_CACHE.clear()
-    run = _ensemble_fn(model, n_real, P, scfg, None, T, cond.shape[1:], B)
+    try:
+        # the jitted `run` closes over the steered plan at trace time, so
+        # the module binding can be restored immediately — later in-process
+        # users (e.g. mega_crossover importing these helpers) must never
+        # inherit a silently steered sampler
+        run = _ensemble_fn(model, n_real, P, scfg, None, T, cond.shape[1:],
+                           B)
+    finally:
+        sample_mod.mega_plan = plan0
     return run, params, cond
 
 

@@ -37,12 +37,18 @@ OUT = Path(__file__).resolve().parent.parent / "docs" / "results" / \
     "ref_parity_500ep"
 
 
-def make_dataset():
+def make_dataset(return_forward: bool = False):
     """Seeded synthetic dataset at reference scale: physical parameter
     draws (Sobol over the real bounds) and an ERT stack that actually
     DEPENDS on the parameters (smooth random linear response + noise), so
     the conditional model has signal to learn, like the real PFLOTRAN
-    ensemble."""
+    ensemble.
+
+    return_forward=True additionally returns the noiseless forward
+    response operator params_phys (M, P) -> ERT (M, L, C) (standardizing
+    with the TRAINING ensemble's moments), the synthetic stand-in for a
+    PFLOTRAN forward run — used by the flagship full-scale WSSE closure
+    (benchmarks/flagship_fullscale.py)."""
     from ertdx import data as data_lib
     from ertdx.doe import SurrogateDataGenerator
 
@@ -50,18 +56,27 @@ def make_dataset():
         N, "sobol")                                    # (N, P) physical
     rng = np.random.default_rng(7)
     # standardized params -> smooth response map -> (N, L, C)
-    ps = (params_phys - params_phys.mean(0)) / (params_phys.std(0) + 1e-9)
+    mu, sd = params_phys.mean(0), params_phys.std(0) + 1e-9
+    ps = (params_phys - mu) / sd
     k = 8
     basis = rng.normal(size=(P, k)).astype(np.float32)         # (P, k)
     tgrid = np.linspace(0, 1, L, dtype=np.float32)
     waves = np.stack([np.sin((i + 1) * np.pi * tgrid + rng.uniform(0, 3))
                       for i in range(k)], axis=1)              # (L, k)
     chan = rng.normal(size=(k, C)).astype(np.float32) / np.sqrt(k)
+
+    def forward(p_phys: np.ndarray) -> np.ndarray:
+        z = ((np.asarray(p_phys) - mu) / sd).astype(np.float32)
+        sig = np.einsum("nk,lk,kc->nlc", z @ basis, waves, chan,
+                        optimize=True)
+        return 50.0 + 8.0 * sig
+
     signal = np.einsum("nk,lk,kc->nlc", ps.astype(np.float32) @ basis,
                        waves, chan, optimize=True)
     ert = 50.0 + 8.0 * signal + rng.normal(
         0, 2.0, size=(N, L, C)).astype(np.float32)
-    return data_lib.prepare_dataset(params_phys[..., None], ert)
+    ds = data_lib.prepare_dataset(params_phys[..., None], ert)
+    return (ds, forward) if return_forward else ds
 
 
 def run_jax(epochs: int) -> dict:

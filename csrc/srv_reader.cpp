@@ -12,6 +12,7 @@
 //     returns -1 on open failure, -2 on truncated/short rows.
 //   srv_count_rows(path, skip_header) -> row count (for sizing).
 #include <cstdio>
+#include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <cctype>
@@ -20,28 +21,28 @@
 #include <thread>
 #include <vector>
 
-static long run_pool(long n_files, long n_threads,
-                     const std::function<long(long)>& job) {
+static int64_t run_pool(int64_t n_files, int64_t n_threads,
+                     const std::function<int64_t(int64_t)>& job) {
     if (n_threads <= 0) {
-        n_threads = (long)std::thread::hardware_concurrency();
+        n_threads = (int64_t)std::thread::hardware_concurrency();
         if (n_threads <= 0) n_threads = 4;
     }
     if (n_threads > n_files) n_threads = n_files;
-    std::atomic<long> next(0);
-    std::atomic<long> fail(0);   // 0 = ok, else 1-based failing index
+    std::atomic<int64_t> next(0);
+    std::atomic<int64_t> fail(0);   // 0 = ok, else 1-based failing index
     auto worker = [&]() {
         for (;;) {
-            long i = next.fetch_add(1);
+            int64_t i = next.fetch_add(1);
             if (i >= n_files || fail.load()) break;
             if (job(i) < 0) {
-                long expected = 0;
+                int64_t expected = 0;
                 fail.compare_exchange_strong(expected, i + 1);
                 break;
             }
         }
     };
     std::vector<std::thread> pool;
-    for (long t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (int64_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
     for (auto& th : pool) th.join();
     return fail.load() ? -fail.load() : 0;
 }
@@ -54,10 +55,10 @@ static inline const char* skip_ws(const char* p) {
     return p;
 }
 
-long srv_count_rows(const char* path, long skip_header) {
+int64_t srv_count_rows(const char* path, int64_t skip_header) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    long rows = 0, line = 0;
+    int64_t rows = 0, line = 0;
     char buf[1 << 16];
     while (std::fgets(buf, sizeof buf, f)) {
         if (line++ < skip_header) continue;
@@ -68,18 +69,18 @@ long srv_count_rows(const char* path, long skip_header) {
     return rows;
 }
 
-long srv_read_column(const char* path, long skip_header, long usecols,
-                     double* out, long max_rows) {
+int64_t srv_read_column(const char* path, int64_t skip_header, int64_t usecols,
+                     double* out, int64_t max_rows) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    long line = 0, n = 0;
+    int64_t line = 0, n = 0;
     char buf[1 << 16];
     while (std::fgets(buf, sizeof buf, f)) {
         if (line++ < skip_header) continue;
         const char* p = skip_ws(buf);
         if (!*p || *p == '\n') continue;
         // advance to column `usecols` (0-based)
-        for (long c = 0; c < usecols; ++c) {
+        for (int64_t c = 0; c < usecols; ++c) {
             while (*p && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r')
                 ++p;
             p = skip_ws(p);
@@ -106,21 +107,21 @@ long srv_read_column(const char* path, long skip_header, long usecols,
 //     returns 0, or -(i+1) naming the first failing file.
 // ---------------------------------------------------------------------------
 
-long srv_count_batch(const char** paths, long n_files, long skip_header,
-                     long* counts, long n_threads) {
-    return run_pool(n_files, n_threads, [&](long i) -> long {
-        long n = srv_count_rows(paths[i], skip_header);
+int64_t srv_count_batch(const char** paths, int64_t n_files, int64_t skip_header,
+                     int64_t* counts, int64_t n_threads) {
+    return run_pool(n_files, n_threads, [&](int64_t i) -> int64_t {
+        int64_t n = srv_count_rows(paths[i], skip_header);
         if (n < 0) return -1;
         counts[i] = n;
         return 0;
     });
 }
 
-long srv_read_batch(const char** paths, long n_files, long skip_header,
-                    long usecols, double* out, const long* offsets,
-                    const long* counts, long n_threads) {
-    return run_pool(n_files, n_threads, [&](long i) -> long {
-        long got = srv_read_column(paths[i], skip_header, usecols,
+int64_t srv_read_batch(const char** paths, int64_t n_files, int64_t skip_header,
+                    int64_t usecols, double* out, const int64_t* offsets,
+                    const int64_t* counts, int64_t n_threads) {
+    return run_pool(n_files, n_threads, [&](int64_t i) -> int64_t {
+        int64_t got = srv_read_column(paths[i], skip_header, usecols,
                                    out + offsets[i], counts[i]);
         return got == counts[i] ? 0 : -1;
     });

@@ -52,11 +52,18 @@ def _load_cfg(args) -> "configs.ExperimentConfig":
 
 
 def cmd_generate_design(args) -> int:
+    import warnings
+
     from .doe import SurrogateDataGenerator
     gen = SurrogateDataGenerator(seed=args.seed)
-    params = gen.generate_training_samples(
-        args.n, method=args.method, plot_diagnostics=args.diagnostics,
-        output_dir=str(Path(args.out).parent))
+    with warnings.catch_warnings():
+        # scipy's Sobol balance warning (non-power-of-2 n) is expected
+        # for user-chosen design sizes; the scrambled points stay valid
+        warnings.filterwarnings(
+            "ignore", message=".*balance properties of Sobol.*")
+        params = gen.generate_training_samples(
+            args.n, method=args.method, plot_diagnostics=args.diagnostics,
+            output_dir=str(Path(args.out).parent))
     np.save(args.out, params[..., None])  # (N, 29, 1) reference layout
     print(f"wrote {args.out}: {params.shape[0]} x {params.shape[1]} design")
     return 0

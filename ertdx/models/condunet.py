@@ -313,6 +313,7 @@ class CondUNet(nn.Module):
     cond_channels: int = 14
     base_width: int = 64
     depth: int = 3
+    patch: int = 8               # encoder patchify window (space-to-depth)
     num_heads: int = 4           # encoder attention heads (dh=64: aligned)
     core_heads: int = 1          # core attention heads — 1 keeps head_dim
                                  # = hidden_dim = 128 lanes (see CoreBlock)
@@ -341,7 +342,7 @@ class CondUNet(nn.Module):
     def setup(self):
         self.encoder = ConditionEncoder(
             hidden_dim=self.hidden_dim, base_width=self.base_width,
-            depth=self.depth, num_heads=self.num_heads,
+            depth=self.depth, num_heads=self.num_heads, patch=self.patch,
             use_pallas=self.use_pallas, pallas_gn=self.pallas_gn,
             pallas_conv=self.pallas_conv, dtype=self.dtype)
         self.lift = nn.Dense(self.hidden_dim, dtype=self.dtype)

@@ -28,8 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.core_block import (fused_core_block, fused_core_stack,
-                              pick_chunk)
+from ..ops.core_block import (_CORE_VMEM_BUDGET, block_vmem_bytes,
+                              fused_core_block, fused_core_stack,
+                              pick_chunk, stack_vmem_bytes)
 from .common import get_timestep_embedding
 
 _LN_EPS = 1e-6   # flax nn.LayerNorm default
@@ -39,6 +40,15 @@ _LN_EPS = 1e-6   # flax nn.LayerNorm default
 # (mega_crossover.py + mega_ab.py): 2,048 chains -> 0.82x (XLA wins),
 # 4,096 -> 1.26x, 8,192 -> 1.86x, 32,000 -> 2.44x.
 MIN_TOTAL_CHAINS = 4096
+
+
+def cond_token_len(model, cond_len: int) -> int:
+    """Condition-token count the encoder will emit for a length-L input:
+    patchify (ceil to patch windows) then depth-1 stride-2 SAME convs."""
+    l = -(-cond_len // int(getattr(model, "patch", 8)))
+    for _ in range(int(getattr(model, "depth", 3)) - 1):
+        l = -(-l // 2)
+    return l
 
 
 def extract_core_weights(params, i: int) -> dict:
@@ -57,14 +67,18 @@ def extract_core_weights(params, i: int) -> dict:
 
 
 def mega_plan(model, n_real: int, batch: int = 1,
-              mesh=None) -> Optional[dict]:
+              mesh=None, cond_len: Optional[int] = None) -> Optional[dict]:
     """Static-gate the fused-core path; None -> use the flax/XLA path.
 
     Requires: the flag, a TPU backend, single-head f32 core, lane-aligned
-    hidden dim, a valid chain chunking, and >= MIN_TOTAL_CHAINS chains
-    PER DEVICE (below it the XLA path measures ahead). With a mesh, the
-    condition batch must divide the 'data' axis — conditions then shard
-    via mega_denoise_ensemble_sharded (no collectives in the hot loop);
+    hidden dim, a valid chain chunking, >= MIN_TOTAL_CHAINS chains
+    PER DEVICE (below it the XLA path measures ahead), and a VMEM
+    working-set estimate inside the per-core budget (ops/core_block:
+    stack_vmem_bytes / block_vmem_bytes) — oversize configs (large
+    param_dim or hidden_dim) fall back to XLA instead of dying in a
+    Mosaic compile error on hardware. With a mesh, the condition batch
+    must divide the 'data' axis — conditions then shard via
+    mega_denoise_ensemble_sharded (no collectives in the hot loop);
     incompatible meshes fall back to the GSPMD/XLA path."""
     if not getattr(model, "ensemble_mega", False):
         return None
@@ -90,14 +104,22 @@ def mega_plan(model, n_real: int, batch: int = 1,
     chunk = pick_chunk(n_real, model.param_dim)
     if chunk == 0:
         return None
-    return {"p": model.param_dim, "d": model.hidden_dim,
-            "num_blocks": model.num_blocks, "chunk": chunk,
-            "accurate": bool(getattr(model, "ensemble_mega_accurate",
-                                     False)),
-            # one-kernel whole-core variant: measured 2.44x vs XLA at
-            # configs[3] (vs 2.07x for kernel-per-block) and neutral
-            # (1.02x) even at 1,024 total chains — benchmarks/mega_ab.py
-            "stack": True}
+    p, d, nb = model.param_dim, model.hidden_dim, model.num_blocks
+    accurate = bool(getattr(model, "ensemble_mega_accurate", False))
+    lk = (cond_token_len(model, cond_len) if cond_len is not None
+          else 2 * 128)   # unknown length: assume two padded lane groups
+    # one-kernel whole-core variant preferred: measured 2.44x vs XLA at
+    # configs[3] (vs 2.07x for kernel-per-block) and neutral (1.02x)
+    # even at 1,024 total chains — benchmarks/mega_ab.py
+    if stack_vmem_bytes(p, d, nb, lk, n_real,
+                        accurate) <= _CORE_VMEM_BUDGET:
+        stack = True
+    elif block_vmem_bytes(p, d, lk, chunk, accurate) <= _CORE_VMEM_BUDGET:
+        stack = False
+    else:
+        return None
+    return {"p": p, "d": d, "num_blocks": nb, "chunk": chunk,
+            "accurate": accurate, "stack": stack}
 
 
 def _cvec_silu(params, t, cond_vec, d):
@@ -190,7 +212,12 @@ def mega_denoise_ensemble_sharded(params, x, t, cond_ctx, n_real: int,
     is GSPMD's initial resharding of x). Requires the condition batch to
     divide the mesh 'data' axis; params replicate.
     """
-    from jax.experimental.shard_map import shard_map
+    # jax >= 0.4.35 exports shard_map at top level; the experimental
+    # path is deprecated (removed in jax 0.8) — prefer the public one
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec
 
     ct, cv = cond_ctx

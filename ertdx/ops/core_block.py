@@ -160,24 +160,89 @@ def _core_block_kernel(x_ref, mods_ref, k_ref, v_ref, wqkv_ref, wso_ref,
 def pick_chunk(n_real: int, p: int) -> int:
     """Chains per program: a divisor of R, 8-tileable or single-tileable.
 
-    Prefers the largest 8-divisible divisor <= 64 (VMEM-bounded slab),
-    else the largest divisor <= MAX_SINGLE_TILE (whole-chunk tile).
-    Returns 0 when no valid chunk exists (caller falls back to XLA)."""
+    Prefers the largest 8-divisible divisor whose slab stays VMEM-sized
+    (<= 64 chains AND <= ~2048 rows of chunk*p tokens — p-aware so large
+    param_dims shrink the tile instead of blowing VMEM), else the largest
+    divisor <= MAX_SINGLE_TILE chains / ~384 rows (whole-chunk logit
+    tile). Returns 0 when no valid chunk exists (caller -> XLA)."""
+    cap8 = min(n_real, 64, max(1, 2048 // p))
+    cap_small = min(MAX_SINGLE_TILE, max(1, 384 // p))
     best8 = 0
     best_small = 0
-    for c in range(1, min(n_real, 64) + 1):
+    for c in range(1, min(n_real, cap8) + 1):
         if n_real % c:
             continue
         if c % 8 == 0:
             best8 = c
-        if c <= MAX_SINGLE_TILE:
+        if c <= cap_small:
             best_small = c
     return best8 or best_small
 
 
-def fused_core_block_ok(n_real: int, p: int, d: int) -> bool:
-    return (jax.default_backend() == "tpu" and d % 128 == 0
-            and pick_chunk(n_real, p) > 0)
+# Per-core VMEM working-set budget for the fused-core kernels: v5e
+# exposes ~16 MiB of VMEM per core. Configs whose estimate exceeds
+# this fall back to the XLA path instead of dying in a Mosaic compile
+# error on hardware (CPU interpret-mode tests can't catch that). The
+# estimators below are calibrated lean so the measured-working
+# production configs (p=29, d=128, nb=4, chains up to 32k) pass with
+# margin while clearly oversize ones (d >= 256: the weight stacks alone
+# are ~15 MiB; very large p) fail.
+_CORE_VMEM_BUDGET = 16 * 2 ** 20
+
+
+def stack_vmem_bytes(p: int, d: int, nb: int, lk: int, chunk: int,
+                     accurate: bool = False) -> int:
+    """VMEM working-set estimate for fused_core_stack (bytes, f32).
+
+    fixed: BlockSpec-resident operands (compact x in/out, AdaLN mods,
+    per-block K/V slabs, all weight stacks, lift/pos/head). act: the
+    peak live value set of one `outer`-chain tile (one-hot relayout
+    mats, the resident (rows_o, d) activation + the MLP widening, self
+    logit tiles s/e, cross logit rows s/e, a qkv tile). accurate mode
+    adds the hi/lo operand copies of the widest matmul."""
+    outer = pick_chunk(chunk, p)
+    if outer == 0:
+        return 1 << 62
+    tile = 8 if outer % 8 == 0 else outer
+    lkp = -(-lk // 128) * 128
+    rows_o, rows_t = outer * p, tile * p
+    f = 4
+    fixed = f * (2 * chunk * p + 6 * nb * d + 2 * nb * lkp * d
+                 + 14 * nb * d * d + 8 * nb * d + 2 * p * d + 6 * d)
+    act = f * (rows_o * (outer + p)
+               + 4 * rows_o * d + rows_o * 4 * d
+               + 2 * rows_t * rows_t + 2 * rows_o * lkp
+               + 3 * rows_t * d)
+    if accurate:
+        act += f * 2 * (rows_o * d + 4 * d * d)
+    return fixed + act
+
+
+def block_vmem_bytes(p: int, d: int, lk: int, chunk: int,
+                     accurate: bool = False) -> int:
+    """VMEM working-set estimate for fused_core_block (bytes, f32):
+    whole (chunk*p, d) slabs (x in, scratch, out) + one block's weights
+    + K/V + the stage-local peak values."""
+    if chunk == 0:
+        return 1 << 62
+    tile = 8 if chunk % 8 == 0 else chunk
+    lkp = -(-lk // 128) * 128
+    rows, rows_t = chunk * p, tile * p
+    f = 4
+    fixed = f * (14 * d * d + 8 * d + 6 * d + 2 * lkp * d)
+    slabs = f * 3 * rows * d
+    act = f * (rows * 5 * d + 2 * rows * lkp
+               + 2 * rows_t * rows_t + 3 * rows_t * d)
+    if accurate:
+        act += f * 2 * (rows * d + 4 * d * d)
+    return fixed + slabs + act
+
+
+def fused_core_block_ok(n_real: int, p: int, d: int,
+                        lk: int = 256) -> bool:
+    chunk = pick_chunk(n_real, p)
+    return (jax.default_backend() == "tpu" and d % 128 == 0 and chunk > 0
+            and block_vmem_bytes(p, d, lk, chunk) <= _CORE_VMEM_BUDGET)
 
 
 def fused_core_block(x3, mods, k, v, w, *, p: int, chunk: int,

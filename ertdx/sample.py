@@ -29,12 +29,6 @@ from .params import ParameterSpace
 from .parallel.mesh import batch_sharding, replicated
 
 
-def _tile_ctx(ctx, n: int):
-    """Repeat every cond-ctx leaf n times along the batch axis."""
-    return jax.tree_util.tree_map(
-        lambda a: jnp.repeat(a, n, axis=0) if hasattr(a, "ndim") else a, ctx)
-
-
 # jitted ensemble cores, cached per (model, sampler-config, shapes) — a
 # fresh jax.jit per call would recompile every time. Keys hold the model
 # and mesh OBJECTS (flax Modules and jax Meshes hash structurally), never
@@ -87,7 +81,8 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
     # fused-core path (whole CoreBlocks as single Pallas kernels): valid
     # here and only here — the samplers broadcast ONE t over every chain
     # (diffusion.py:96-99,148-151), the contract models/mega.py requires
-    mega = mega_plan(model, n_realizations, batch, mesh) \
+    mega = mega_plan(model, n_realizations, batch, mesh,
+                     cond_len=cond_shape[0]) \
         if ensemble_native else None
 
     @jax.jit

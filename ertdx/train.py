@@ -187,17 +187,26 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
     """Multi-epoch train+val in ONE dispatch: scan(epochs) of scan(batches).
 
     Removes per-dispatch host latency entirely for E epochs at a time
-    (1 dispatch instead of E) — the production fast path when best-val
-    checkpointing at E-epoch granularity is acceptable.
+    (1 dispatch instead of E). Best-val state is EXACT at epoch
+    granularity: the epoch scan carries a running best
+    (val_loss, state-dict) — one param/opt-size select per epoch, ~noise
+    at these model sizes — so the returned best snapshot is bitwise the
+    weights (and optimizer state) the K=1 per-epoch path would have
+    checkpointed (pinned by test_resume_parity.py).
 
     fn(state, x0_tr, cond_tr, batch_idx (E, nb, B), epoch_keys (E,),
-       x0_va, cond_va, val_idx (nv, B), val_w (nv, B), val_keys (E,))
-      -> (state, train_losses (E,), val_losses (E,))
-    """
+       x0_va, cond_va, val_idx (nv, B), val_w (nv, B), val_keys (E,),
+       best_val_in ())
+      -> (state, train_losses (E,), val_losses (E,), best_state_dict)
+    best_val_in seeds the running best from earlier chunks/resume; the
+    seeded best snapshot is the INCOMING state, so callers must treat
+    the returned snapshot as valid only when min(val_losses) improved on
+    best_val_in."""
     T = schedule.num_steps
 
     def _run(state, x0_tr, cond_tr, batch_idx, epoch_keys,
-             x0_va, cond_va, val_idx, val_w, val_keys, alpha_bar):
+             x0_va, cond_va, val_idx, val_w, val_keys, best_val_in,
+             alpha_bar):
         def batch_body(state, inp):
             x0, cond, k = inp
             kt, kn = jax.random.split(k)
@@ -215,7 +224,8 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
                 state = _ema_update(state, ema_decay)
             return state, loss
 
-        def epoch_body(state, inp):
+        def epoch_body(carry, inp):
+            state, best_val, best = carry
             bidx, ekey, vkey = inp
             bkeys = jax.random.split(ekey, bidx.shape[0])
             nb, bsz = bidx.shape
@@ -250,19 +260,33 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
             _, (num, den) = jax.lax.scan(val_body, None,
                                          (x0_vb, cond_vb, val_w, vkeys))
             vloss = jnp.sum(num) / jnp.maximum(jnp.sum(den), 1.0)
-            return state, (jnp.mean(losses), vloss)
+            improved = vloss < best_val
+            best_val = jnp.where(improved, vloss, best_val)
+            best = jax.tree_util.tree_map(
+                lambda b, n: jnp.where(improved, n, b), best,
+                _snapshot(state))
+            return (state, best_val, best), (jnp.mean(losses), vloss)
 
-        state, (tr, va) = jax.lax.scan(
-            epoch_body, state, (batch_idx, epoch_keys, val_keys))
-        return state, tr, va
+        (state, _, best), (tr, va) = jax.lax.scan(
+            epoch_body, (state, best_val_in, _snapshot(state)),
+            (batch_idx, epoch_keys, val_keys))
+        return state, tr, va, best
+
+    def _snapshot(state):
+        d = {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step}
+        if state.ema_params is not None:
+            d["ema_params"] = state.ema_params
+        return d
 
     jitted = jax.jit(_run, donate_argnums=(0,) if donate else ())
 
     def run(state, x0_tr, cond_tr, batch_idx, epoch_keys,
-            x0_va, cond_va, val_idx, val_w, val_keys):
+            x0_va, cond_va, val_idx, val_w, val_keys,
+            best_val_in=float("inf")):
         return jitted(state, x0_tr, cond_tr, batch_idx, epoch_keys,
                       x0_va, cond_va, val_idx, val_w, val_keys,
-                      schedule.alpha_bar)
+                      jnp.float32(best_val_in), schedule.alpha_bar)
 
     return run
 
@@ -471,10 +495,11 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
             else:
                 vkeys = jnp.stack([jax.random.fold_in(val_key, e)
                                    for e in range(epoch, epoch + k_now)])
-            state, tr, va = run_fn(state, x0_tr_d, cond_tr_d,
-                                   jnp.asarray(bidx), ekeys,
-                                   x0_va_d, cond_va_d, v_idx_d, v_w_d,
-                                   vkeys)
+            state, tr, va, best_sd = run_fn(state, x0_tr_d, cond_tr_d,
+                                            jnp.asarray(bidx), ekeys,
+                                            x0_va_d, cond_va_d, v_idx_d,
+                                            v_w_d, vkeys,
+                                            best_val_in=best_val)
             jax.block_until_ready(state.params)
             step_time += time.perf_counter() - t_ep0
             step_count += k_now * bidx.shape[1]
@@ -488,11 +513,12 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                 best_val = chunk_best
                 best_epoch = epoch + int(va.argmin())
                 if checkpoint_dir:
-                    # snapshot granularity = chunk boundary (documented)
-                    _save(checkpoint_dir, "best", state, dataset, cfg,
+                    # best_sd is the EXACT best epoch's state (the scan
+                    # carries a running best select) — reference best-val
+                    # semantics hold at any K
+                    _save(checkpoint_dir, "best", best_sd, dataset, cfg,
                           {"epoch": best_epoch + 1,
                            "best_val_loss": best_val,
-                           "snapshot_epoch": epoch + k_now,
                            "train_history": train_hist,
                            "val_history": val_hist})
             epoch += k_now
@@ -620,11 +646,15 @@ def load_best_model(checkpoint_dir: str, cfg: ExperimentConfig,
 
 
 def _save(checkpoint_dir, name, state, dataset, cfg, meta_extra):
-    """One checkpoint-save call site: state + meta + scaler state."""
+    """One checkpoint-save call site: state + meta + scaler state.
+
+    `state` is a TrainState or an already-extracted state dict (the K>1
+    fast path's in-scan best snapshot)."""
     meta = {"param_dim": dataset.param_dim, "model": cfg.model.name}
     meta.update(meta_extra)
+    sd = state if isinstance(state, dict) else _state_dict(state)
     ckpt_lib.save_checkpoint(
-        f"{checkpoint_dir}/{name}", _state_dict(state), meta,
+        f"{checkpoint_dir}/{name}", sd, meta,
         scalers={"param_scaler": dataset.param_scaler,
                  "ert_scaler": dataset.ert_scaler})
 

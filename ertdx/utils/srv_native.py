@@ -3,7 +3,8 @@
 Build with `make -C csrc` (produces ertdx/utils/_srv_reader.so). All
 callers fall back to numpy parsing when the library is absent or a file
 trips the parser, so the extension is a pure fast path (~40-100x over
-np.genfromtxt on the 259-header survey files)."""
+np.genfromtxt on the 259-header survey files). The C ABI uses fixed-width
+int64_t on both sides (never platform `long`, which is 32-bit on LLP64)."""
 from __future__ import annotations
 
 import ctypes
@@ -26,12 +27,12 @@ def _load():
         return None
     try:
         lib = ctypes.CDLL(str(so))
-        lib.srv_count_rows.restype = ctypes.c_long
-        lib.srv_count_rows.argtypes = [ctypes.c_char_p, ctypes.c_long]
-        lib.srv_read_column.restype = ctypes.c_long
+        lib.srv_count_rows.restype = ctypes.c_int64
+        lib.srv_count_rows.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.srv_read_column.restype = ctypes.c_int64
         lib.srv_read_column.argtypes = [
-            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_double), ctypes.c_long]
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -71,22 +72,22 @@ def read_srv_batch(paths, skip_header: int,
         return None
     if not hasattr(lib, "srv_count_batch"):      # stale .so: rebuild csrc
         return None
-    lib.srv_count_batch.restype = ctypes.c_long
+    lib.srv_count_batch.restype = ctypes.c_int64
     lib.srv_count_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long,
-        ctypes.POINTER(ctypes.c_long), ctypes.c_long]
-    lib.srv_read_batch.restype = ctypes.c_long
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    lib.srv_read_batch.restype = ctypes.c_int64
     lib.srv_read_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long,
-        ctypes.c_long, ctypes.POINTER(ctypes.c_double),
-        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
-        ctypes.c_long]
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64]
 
     n = len(paths)
     enc = [str(p).encode() for p in paths]
     arr = (ctypes.c_char_p * n)(*enc)
     counts = np.zeros(n, dtype=np.int64)
-    counts_p = counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
+    counts_p = counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     if lib.srv_count_batch(arr, n, skip_header, counts_p, 0) != 0:
         return None
     offsets = np.zeros(n, dtype=np.int64)
@@ -95,7 +96,7 @@ def read_srv_batch(paths, skip_header: int,
     rc = lib.srv_read_batch(
         arr, n, skip_header, usecols,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         counts_p, 0)
     if rc != 0:
         return None

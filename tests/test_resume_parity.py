@@ -1,6 +1,7 @@
 """Resume semantics + reference-parity checks (SURVEY.md §4 parity tests)."""
 import dataclasses
 
+import jax
 import numpy as np
 import pytest
 
@@ -59,6 +60,44 @@ def test_multi_epoch_dispatch_matches_per_epoch(tiny_dataset):
     np.testing.assert_allclose(r1.train_history, r2.train_history,
                                rtol=1e-5)
     np.testing.assert_allclose(r1.val_history, r2.val_history, rtol=1e-5)
+
+
+def test_multi_epoch_dispatch_best_checkpoint_exact(tmp_path,
+                                                    tiny_dataset):
+    """K>1 best-val checkpointing is EXACT at epoch granularity: the
+    `best` checkpoint written by the epochs_per_dispatch=3 fast path
+    holds bitwise the same weights (and optimizer moments) as the K=1
+    per-epoch path's best checkpoint (the epoch scan carries a running
+    best-state select; VERDICT r2 item 5)."""
+    from ertdx.train import load_best_model
+
+    def run(sub, k):
+        cfg = configs.ExperimentConfig(
+            diffusion=configs.DiffusionConfig(T=10),
+            model=dataclasses.replace(configs.ModelConfig(),
+                                      cond_length=96, cond_channels=4),
+            train=dataclasses.replace(
+                configs.TrainConfig(), num_epochs=7, batch_size=16,
+                checkpoint_dir=str(tmp_path / sub), log_every=100,
+                epochs_per_dispatch=k))
+        res = train(cfg, tiny_dataset)
+        state, meta, _ = load_best_model(str(tmp_path / sub), cfg,
+                                         tiny_dataset)
+        return res, state, meta
+
+    r1, s1, m1 = run("k1", 1)
+    r3, s3, m3 = run("k3", 3)
+    assert r1.best_epoch == r3.best_epoch
+    assert m1["epoch"] == m3["epoch"]
+    np.testing.assert_allclose(r1.best_val_loss, r3.best_val_loss,
+                               rtol=1e-6)
+    leaves1 = jax.tree_util.tree_leaves(s1.params)
+    leaves3 = jax.tree_util.tree_leaves(s3.params)
+    for a, b in zip(leaves1, leaves3):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.opt_state),
+                    jax.tree_util.tree_leaves(s3.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_epoch_scan_matches_per_batch_statistically(tiny_dataset):
