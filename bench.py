@@ -159,17 +159,28 @@ def _measure_train_epoch_scan(model_name: str, n_pool: int = 1024,
     vkeys = jax.random.split(jax.random.key(2), E)
     n_steps = E * bidx.shape[1]
 
-    state, tr, _ = run_fn(state, x0_all, cond_all, bidx, ekeys,
-                          x0_va, cond_va, v_idx, v_w, vkeys)
+    state, tr, _, _ = run_fn(state, x0_all, cond_all, bidx, ekeys,
+                             x0_va, cond_va, v_idx, v_w, vkeys)
     _ = float(tr[-1])
     times = []
-    for _ in range(max(repeats, 3)):
+    for _ in range(max(repeats, 4)):
         t0 = time.perf_counter()
-        state, tr, _ = run_fn(state, x0_all, cond_all, bidx, ekeys,
-                              x0_va, cond_va, v_idx, v_w, vkeys)
+        state, tr, _, _ = run_fn(state, x0_all, cond_all, bidx, ekeys,
+                                 x0_va, cond_va, v_idx, v_w, vkeys)
         _ = float(tr[-1])  # host read: reliable sync on this backend
         times.append(time.perf_counter() - t0)
-    return n_steps / sorted(times)[len(times) // 2]
+    rates = sorted(n_steps / t for t in times)
+    return _spread(rates)
+
+
+def _spread(sorted_vals) -> dict:
+    """median + p25/p75 of a sorted sample — the dispersion contract
+    (BENCH consumers need spread to tell regression from the shared
+    chip's ~2x minute-to-minute drift)."""
+    v = list(sorted_vals)
+    n = len(v)
+    return {"median": v[n // 2], "p25": v[max(0, n // 4)],
+            "p75": v[min(n - 1, (3 * n) // 4)]}
 
 
 def _measure_train_big_batch(model_name: str, batch: int = 256,
@@ -260,23 +271,62 @@ def _measure_ddim_1000_ensemble(model_name: str) -> dict:
     out = run(params, cond, jax.random.key(2), sch)
     _ = float(out[0, 0, 0])
     times = []
-    for i in range(3):
+    for i in range(5):
         t0 = time.perf_counter()
         out = run(params, cond, jax.random.key(3 + i), sch)
         _ = float(out[0, 0, 0])
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
+    sp = _spread(sorted(times))
+    dt = sp["median"]
     # FLOPs: XLA cost analysis counts a lax.scan BODY once (not x steps),
     # so analyze ONE denoise call and multiply by the step count; the
     # condition encoder runs once per ensemble.
     flops = _sample_flops(model_name, n_real=1000, steps=50)
     rec = {"ddim50_1000member_ensemble_seconds": dt,
+           "ddim50_1000member_ensemble_seconds_p25": sp["p25"],
+           "ddim50_1000member_ensemble_seconds_p75": sp["p75"],
            "ddim50_1000member_chains_per_sec": 1000 * REF_BATCH / dt,
            "sample_flops_per_ensemble": flops}
     peak = _peak_flops()
     if flops == flops and peak == peak:
         rec["mfu_sample"] = flops / dt / peak
+        rec["mfu_sample_p25"] = flops / sp["p75"] / peak
+        rec["mfu_sample_p75"] = flops / sp["p25"] / peak
     return rec
+
+
+def _measure_uq_testset(model_name: str, n_test: int = 508,
+                        n_real: int = 50, batch: int = 127) -> dict:
+    """The reference's remaining full-scale workload: test-set-wide UQ
+    (ERT_Conditional_Diffusion.py:1036-1086) — n_test conditions x
+    n_real ancestral T=500 realizations, through posterior_over_dataset
+    (host-batched; fused-core path engages per batch when chains >=
+    the gate)."""
+    from ertdx.configs import SampleConfig
+    from ertdx.sample import posterior_over_dataset
+    from ertdx.transforms import MinMaxScaler
+
+    model, sch, state = _build(model_name)
+    rng = np.random.default_rng(0)
+    conds = rng.uniform(size=(n_test, REF_LEN, REF_CH)).astype(np.float32)
+    scaler = MinMaxScaler.fit(
+        rng.uniform(size=(64, PARAM_DIM)).astype(np.float32))
+    scfg = SampleConfig(uncertainty_samples=n_real)
+    # warm (compiles each distinct batch shape once)
+    posterior_over_dataset(model, state.params, conds[:batch], sch,
+                           jax.random.key(0), scaler, n_realizations=n_real,
+                           batch_size=batch, scfg=scfg)
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        pred, mask = posterior_over_dataset(
+            model, state.params, conds, sch, jax.random.key(1 + i),
+            scaler, n_realizations=n_real, batch_size=batch, scfg=scfg)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[0]
+    return {"uq_testset_seconds": dt,
+            "uq_testset_chains_per_sec": n_test * n_real / dt,
+            "uq_testset_shape": f"{n_test}x{n_real}xT{T}"}
 
 
 def _sample_flops(model_name: str, n_real: int, steps: int) -> float:
@@ -309,11 +359,14 @@ def main() -> int:
     peak = _peak_flops()
 
     # ---- headline: flagship CondUNet train throughput -----------------
-    headline = _measure_train_epoch_scan("condunet", n_pool=512, repeats=2)
+    hl = _measure_train_epoch_scan("condunet", n_pool=512, repeats=4)
+    headline = hl["median"]
     extras = {"backend": backend,
               "device_kind": jax.devices()[0].device_kind,
               "peak_flops_assumed": peak,
               "condunet_train_steps_per_sec": headline,
+              "condunet_train_steps_per_sec_p25": hl["p25"],
+              "condunet_train_steps_per_sec_p75": hl["p75"],
               "torch_cpu_baseline_steps_per_sec": baseline}
 
     # train FLOPs + MFU (per-train-step flops x epoch-scan steps/s;
@@ -323,8 +376,16 @@ def main() -> int:
         extras["condunet_train_flops_per_step"] = tf
         if tf == tf and peak == peak:
             extras["mfu_train"] = tf * headline / peak
+            extras["mfu_train_p25"] = tf * hl["p25"] / peak
+            extras["mfu_train_p75"] = tf * hl["p75"] / peak
     except Exception as e:  # noqa: BLE001 — bench must still print its line
         extras["train_flops_error"] = str(e)[:200]
+
+    # test-set-wide UQ (the reference's terminal workload)
+    try:
+        extras.update(_measure_uq_testset("condunet"))
+    except Exception as e:  # noqa: BLE001
+        extras["uq_testset_error"] = str(e)[:200]
 
     # flagship sampling: the north-star DDIM-50 1000-member ensemble
     try:
@@ -339,11 +400,12 @@ def main() -> int:
 
     # reference-parity model (the architecture torch_baseline.json times)
     try:
-        extras["refmlp_train_steps_per_sec_epoch_scan"] = \
-            _measure_train_epoch_scan("refmlp")
+        rsp = _measure_train_epoch_scan("refmlp")
+        extras["refmlp_train_steps_per_sec_epoch_scan"] = rsp["median"]
+        extras["refmlp_train_steps_per_sec_p25"] = rsp["p25"]
+        extras["refmlp_train_steps_per_sec_p75"] = rsp["p75"]
         extras["refmlp_vs_torch_cpu"] = (
-            extras["refmlp_train_steps_per_sec_epoch_scan"] / baseline
-            if baseline == baseline else None)
+            rsp["median"] / baseline if baseline == baseline else None)
     except Exception as e:  # noqa: BLE001
         extras["refmlp_error"] = str(e)[:200]
     try:
@@ -355,7 +417,7 @@ def main() -> int:
     try:
         extras["condunet_train_steps_per_sec_bf16"] = \
             _measure_train_epoch_scan("condunet", n_pool=512, repeats=2,
-                                      dtype="bfloat16")
+                                      dtype="bfloat16")["median"]
     except Exception as e:  # noqa: BLE001
         extras["bf16_error"] = str(e)[:200]
     # production-batch scaling: the reference grid fixes batch 32 (the

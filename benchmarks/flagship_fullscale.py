@@ -1,0 +1,241 @@
+"""Flagship full-scale campaign: CondUNet vs RefCondMLP head-to-head at
+the TRUE reference config, with test-set-wide posterior UQ.
+
+The reference's terminal deliverable is a 500-epoch model's posterior UQ
+on the real grid (ERT_Conditional_Diffusion.py:299 500 epochs;
+:1036-1086 test-set-wide 50-realization ensembles; :1089-1137 coverage
+accuracy/precision/goodness; :1270-1276 Parameter_uncertainty_metrics.csv;
+:766-811 WSSE closure of forward-simulated realizations). This harness
+produces exactly that evidence for BOTH models on the same data:
+
+  * dataset: 5,076 x (4693 x 14) seeded synthetic at reference scale
+    (benchmarks/parity_500ep.make_dataset — the ERT stack depends on the
+    parameters through a smooth forward operator, so posterior quality
+    against known true parameters is meaningful);
+  * training: batch 32, T=500, Adam lr 1e-4, 500 epochs, 80/10/10 split,
+    stochastic validation, best-val checkpointing (exact at any
+    epochs_per_dispatch — ertdx/train.py);
+  * UQ: the FULL test split, 50 ancestral T=500 realizations per
+    condition (the reference's sampler), coverage metrics per parameter
+    + overall, plus a WSSE closure: posterior draws pushed through the
+    synthetic forward operator against the observed conditional;
+  * 3 seeds per model (42/43/44) — the split and all training
+    randomness reseed per run.
+
+Usage (TPU; ~4-8 min per run):
+  python benchmarks/flagship_fullscale.py run --model condunet --seed 42
+  python benchmarks/flagship_fullscale.py report
+
+Artifacts land in docs/results/flagship_fullscale/{model}_s{seed}/.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from parity_500ep import BATCH, C, L, LR, N, P, T, make_dataset  # noqa: E402
+
+OUT = Path(__file__).resolve().parent.parent / "docs" / "results" / \
+    "flagship_fullscale"
+EPOCHS = 500
+N_REAL = 50
+UQ_BATCH = 100        # 100 x 50 = 5,000 chains/batch: fused-core engages
+
+
+def run(model_name: str, seed: int, epochs: int = EPOCHS) -> dict:
+    import jax
+
+    from ertdx import configs, data as data_lib
+    from ertdx.diffusion import get_diffusion_schedule
+    from ertdx.metrics import (per_parameter_uq, uq_scores,
+                               wsse_per_simulation)
+    from ertdx.models import build_model
+    from ertdx.sample import posterior_over_dataset
+    from ertdx.train import load_best_model, train
+
+    rdir = OUT / f"{model_name}_s{seed}"
+    rdir.mkdir(parents=True, exist_ok=True)
+    ds, forward = make_dataset(return_forward=True)
+
+    cfg = configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=T),
+        model=dataclasses.replace(configs.ModelConfig(), name=model_name,
+                                  cond_length=L, cond_channels=C),
+        train=dataclasses.replace(
+            configs.TrainConfig(), num_epochs=epochs, batch_size=BATCH,
+            lr=LR, seed=seed, checkpoint_dir=str(rdir / "ckpt"),
+            log_every=100, deterministic_val=False,
+            epochs_per_dispatch=10))
+
+    t0 = time.perf_counter()
+    res = train(cfg, ds)
+    train_wall = time.perf_counter() - t0
+    print(json.dumps({"model": model_name, "seed": seed,
+                      "best_val": float(res.best_val_loss),
+                      "best_epoch": int(res.best_epoch),
+                      "steps_per_sec": float(res.steps_per_sec),
+                      "train_wall_s": round(train_wall, 1)}), flush=True)
+
+    # ---- test-set-wide posterior UQ with the BEST checkpoint ----
+    state, _, _ = load_best_model(str(rdir / "ckpt"), cfg, ds)
+    model = build_model(cfg.model)
+    schedule = get_diffusion_schedule(T)
+    _, _, test_idx = data_lib.split_dataset(N, seed, (0.8, 0.1))
+    true_u = np.asarray(ds.params_u[test_idx])
+    conds = np.asarray(ds.conditions[test_idx])
+
+    t0 = time.perf_counter()
+    pred, mask = posterior_over_dataset(
+        model, state.params, conds, schedule, jax.random.key(seed + 100),
+        ds.param_scaler, n_realizations=N_REAL, batch_size=UQ_BATCH)
+    uq_wall = time.perf_counter() - t0
+
+    # truth in physical space (reference: inverse chain at :1046-1048)
+    from ertdx.transforms import inverse_transform
+    true_phys = np.asarray(
+        ds.param_scaler.inverse(inverse_transform(true_u, ds.a, ds.b)))
+
+    scores = uq_scores(pred, true_phys)
+    rows = per_parameter_uq(pred, true_phys)
+    import csv
+    with open(rdir / "Parameter_uncertainty_metrics.csv", "w",
+              newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+    # ---- WSSE closure: forward-simulate posterior draws for the first
+    # 8 test conditions, compare to each observed conditional (:766-811;
+    # the synthetic forward operator stands in for PFLOTRAN) ----
+    wsse_med = []
+    cond_raw = np.asarray(ds.ert_scaler.inverse(
+        conds[:8].reshape(8, -1))).reshape(8, L, C)
+    for i in range(8):
+        sims = forward(pred[:, i, :])                    # (R, L, C)
+        w_i = wsse_per_simulation(sims, cond_raw[i])     # (R, C)
+        wsse_med.append(float(np.median(w_i.mean(axis=1))))
+    # closure anchor: the TRUE parameters' noiseless forward vs observed
+    wsse_true = [float(wsse_per_simulation(
+        forward(true_phys[i:i + 1]), cond_raw[i]).mean())
+        for i in range(8)]
+
+    rec = {
+        "model": model_name, "seed": seed, "epochs": epochs,
+        "n_test": int(len(test_idx)), "n_real": N_REAL,
+        "best_val": float(res.best_val_loss),
+        "best_epoch": int(res.best_epoch),
+        "steps_per_sec": float(res.steps_per_sec),
+        "train_wall_s": train_wall,
+        "uq_testset_seconds": uq_wall,
+        "chains_total": int(N_REAL * len(test_idx)),
+        "valid_fraction": float(mask.mean()),
+        "accuracy": float(scores["accuracy"]),
+        "precision": float(scores["precision"]),
+        "goodness": float(scores["goodness"]),
+        "wsse_median_posterior": wsse_med,
+        "wsse_true_params": wsse_true,
+        "train": [float(x) for x in res.train_history],
+        "val": [float(x) for x in res.val_history],
+    }
+    (rdir / "result.json").write_text(json.dumps(rec))
+    print(json.dumps({k: v for k, v in rec.items()
+                      if k not in ("train", "val")}), flush=True)
+    return rec
+
+
+def report() -> None:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    recs = []
+    for p in sorted(OUT.glob("*_s*/result.json")):
+        recs.append(json.loads(p.read_text()))
+    by_model: dict = {}
+    for r in recs:
+        by_model.setdefault(r["model"], []).append(r)
+
+    fig, axs = plt.subplots(1, 2, figsize=(12, 4), dpi=150)
+    for mname, rs in sorted(by_model.items()):
+        for r in rs:
+            axs[0].plot(r["train"], alpha=0.5,
+                        label=f"{mname} s{r['seed']}")
+            axs[1].plot(r["val"], alpha=0.5, label=f"{mname} s{r['seed']}")
+    for ax, ttl in zip(axs, ("train eps-MSE", "val eps-MSE")):
+        ax.set_xlabel("epoch")
+        ax.set_ylabel(ttl)
+        ax.set_yscale("log")
+        ax.legend(fontsize=7)
+    fig.suptitle(f"Flagship full-scale: {N}x({L}x{C}), batch {BATCH}, "
+                 f"T={T}, {EPOCHS} epochs, 3 seeds")
+    fig.tight_layout()
+    fig.savefig(OUT / "loss_curves.png", bbox_inches="tight")
+
+    def agg(rs, k):
+        v = [r[k] for r in rs]
+        return float(np.mean(v)), float(np.std(v))
+
+    md = ["# Flagship full-scale head-to-head (reference grid + budget)",
+          "",
+          f"- dataset: {N} x ({L} x {C}) seeded synthetic "
+          "(params -> ERT through a smooth forward operator); batch "
+          f"{BATCH}, T={T}, lr {LR}, {EPOCHS} epochs, stochastic val, "
+          "3 seeds (42/43/44); UQ: full test split x "
+          f"{N_REAL} ancestral T={T} realizations, best-val weights.",
+          "",
+          "| model | best-val eps-MSE | UQ accuracy | UQ precision | "
+          "UQ goodness | valid frac | UQ wall (s) | train steps/s |",
+          "|---|---|---|---|---|---|---|---|"]
+    for mname, rs in sorted(by_model.items()):
+        bv, bs = agg(rs, "best_val")
+        ac, asd = agg(rs, "accuracy")
+        pr, psd = agg(rs, "precision")
+        go, gsd = agg(rs, "goodness")
+        vf, _ = agg(rs, "valid_fraction")
+        uw, _ = agg(rs, "uq_testset_seconds")
+        sp, _ = agg(rs, "steps_per_sec")
+        md.append(f"| {mname} | {bv:.4f} ± {bs:.4f} | {ac:.3f} ± {asd:.3f}"
+                  f" | {pr:.3f} ± {psd:.3f} | {go:.3f} ± {gsd:.3f} | "
+                  f"{vf:.3f} | {uw:.1f} | {sp:.0f} |")
+    md += ["",
+           "WSSE closure (first 8 test conditions; posterior draws "
+           "forward-simulated through the synthetic operator, median over "
+           "50 realizations, vs the noiseless true-parameter forward):",
+           ""]
+    for mname, rs in sorted(by_model.items()):
+        r0 = min(rs, key=lambda r: r["seed"])
+        med = np.median(r0["wsse_median_posterior"])
+        tru = np.median(r0["wsse_true_params"])
+        md.append(f"- {mname} (s{r0['seed']}): posterior median WSSE "
+                  f"{med:.2f} vs true-params anchor {tru:.2f} "
+                  "(observation noise floor ~ (2.0/(0.1*|50|+0.01))^2 "
+                  "≈ 0.16 per unit sd -> anchor reflects noise, not bias)")
+    (OUT / "README.md").write_text("\n".join(md) + "\n")
+    print("\n".join(md))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("leg", choices=["run", "report"])
+    ap.add_argument("--model", default="condunet",
+                    choices=["condunet", "refmlp"])
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--epochs", type=int, default=EPOCHS)
+    args = ap.parse_args()
+    OUT.mkdir(parents=True, exist_ok=True)
+    if args.leg == "report":
+        report()
+        return
+    run(args.model, args.seed, args.epochs)
+
+
+if __name__ == "__main__":
+    main()

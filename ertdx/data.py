@@ -108,6 +108,54 @@ def gather_srv_data(prefix: str, directory: str = ".",
     return np.array(data).flatten()
 
 
+def gather_srv_ensemble(directories, prefix: str,
+                        fmt: SrvFormat = SrvFormat()) -> np.ndarray:
+    """Batch-ingest EVERY simulation's survey files in one C++ call.
+
+    The reference ingests the training ensemble as a serial
+    np.genfromtxt loop over thousands of files (Generate_ERT_utils.py:
+    203-224, called per simulation). gather_srv_data already batches one
+    simulation's ~14 files, but at that granularity the thread pool
+    spins up for ~2 ms of work; this entry point flattens ALL
+    simulations' files into ONE srv_read_batch call so the pool
+    amortizes across the full ensemble (measured ~4x over per-sim calls
+    at 5,076 x 14 — benchmarks/srv_ingest_bench.py).
+
+    directories: iterable of per-simulation dirs. Every simulation must
+    yield the same per-file row count and file count (enforced; the
+    reference's most-common-shape filter runs downstream on .npy stores,
+    load_simulation_data). Returns (n_sims, files_per_sim * rows).
+    """
+    from .utils import srv_native
+
+    dirs = [str(d) for d in directories]
+    all_paths = []
+    per_sim = None
+    for d in dirs:
+        fnames = [f for f in os.listdir(d)
+                  if f.startswith(prefix) and f.endswith(".srv")]
+        if not fnames:
+            raise FileNotFoundError(f"no '{prefix}*.srv' files in {d!r}")
+        times = [_srv_time(f, fmt) for f in fnames]
+        order = np.argsort(times)
+        paths = [os.path.join(d, fnames[i]) for i in order]
+        if per_sim is None:
+            per_sim = len(paths)
+        elif len(paths) != per_sim:
+            raise ValueError(
+                f"{d!r} has {len(paths)} survey files, expected {per_sim}")
+        all_paths.extend(paths)
+
+    batch = srv_native.read_srv_batch(all_paths, fmt.skip_header,
+                                      fmt.usecols)
+    if batch is None:                       # extension absent: fall back
+        batch = np.concatenate([read_srv_file(p, fmt) for p in all_paths])
+    if batch.size % len(dirs):
+        raise ValueError(
+            f"ragged ensemble: {batch.size} values over {len(dirs)} sims")
+    return batch.reshape(len(dirs), -1)
+
+
 class ERTDataHandler:
     """Compatibility shim mirroring the reference API."""
 

@@ -92,3 +92,27 @@ def test_batch_reader_bad_file_falls_back(tmp_path, native):
     _write(good, header=1, rows=4)
     assert native.read_srv_batch(
         [str(good), str(tmp_path / "missing.srv")], 1, 5) is None
+
+
+def test_gather_srv_ensemble(tmp_path, native):
+    """Cross-simulation batched ingest: shape, ordering, and parity with
+    per-sim gather_srv_data; ragged file counts raise."""
+    from ertdx.data import SrvFormat, gather_srv_data, gather_srv_ensemble
+    fmt = SrvFormat(skip_header=2, usecols=5)
+    dirs = []
+    for s in range(3):
+        d = tmp_path / f"sim{s}"
+        d.mkdir()
+        for day in (30, 10, 20):       # out of order: sorted by time
+            _write(d / f"job-E1-{day}d.srv", header=2, rows=11,
+                   scale=1.0 + s)
+        dirs.append(d)
+    out = gather_srv_ensemble(dirs, "job", fmt)
+    assert out.shape == (3, 33)
+    for s, d in enumerate(dirs):
+        np.testing.assert_array_equal(out[s],
+                                      gather_srv_data("job", str(d), fmt))
+    (dirs[1] / "job-E1-40d.srv").write_text("# h\n# h\n" + "1 " * 6 + "2\n")
+    import pytest
+    with pytest.raises(ValueError, match="survey files"):
+        gather_srv_ensemble(dirs, "job", fmt)

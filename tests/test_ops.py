@@ -430,3 +430,31 @@ def test_mega_denoise_odd_shapes(p, n_real, num_blocks, d):
                                     stack=stack, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=3e-5, atol=3e-5)
+
+
+def test_mega_plan_vmem_gate(monkeypatch):
+    """Oversize configs (weight stacks/logit tiles beyond the ~16 MiB
+    VMEM budget) must fall back to the XLA path instead of reaching the
+    Mosaic compiler (ADVICE r2). Backend is faked to 'tpu' so the VMEM
+    check — not the backend gate — decides."""
+    import jax as _jax
+    from ertdx.models.condunet import CondUNet
+    from ertdx.models import mega as mega_mod
+    from ertdx.ops.core_block import (_CORE_VMEM_BUDGET, block_vmem_bytes,
+                                      pick_chunk, stack_vmem_bytes)
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    kw = dict(param_dim=29, cond_channels=4, base_width=16, depth=2,
+              num_blocks=4, num_heads=2, core_heads=1, ensemble_mega=True)
+    ok = mega_mod.mega_plan(CondUNet(hidden_dim=128, **kw), 1000, 32)
+    assert ok is not None and ok["stack"]          # production config fits
+    # hidden_dim 256: the per-block weight stacks alone blow the budget
+    assert mega_mod.mega_plan(CondUNet(hidden_dim=256, **kw),
+                              1000, 32) is None
+    assert stack_vmem_bytes(29, 256, 4, 147, 1000) > _CORE_VMEM_BUDGET
+    assert block_vmem_bytes(29, 256, 147,
+                            pick_chunk(1000, 29)) > _CORE_VMEM_BUDGET
+    # estimates are p-aware: a huge param_dim shrinks the tile, and the
+    # working reference configs stay inside the budget
+    assert pick_chunk(1000, 512) == 1
+    assert stack_vmem_bytes(29, 128, 4, 147, 1000) <= _CORE_VMEM_BUDGET
