@@ -87,6 +87,12 @@ class TrainConfig:
     epochs_per_dispatch: int = 1
     # exponential moving average of params for sampling (0 = off)
     ema_decay: float = 0.0
+    # run Adam over ONE flattened parameter vector (optax.flatten):
+    # elementwise optimizer => bitwise-identical updates, but a handful
+    # of fused kernels instead of ~6 per leaf x ~90 leaves — measured
+    # on the train-step glue (benchmarks/train_mfu.py). Changes the
+    # opt_state checkpoint layout; resume must use the same setting.
+    flat_optimizer: bool = False
     log_every: int = 1
 
 

@@ -60,12 +60,17 @@ def _ema_update(state: "TrainState", decay: float) -> "TrainState":
 
 def create_train_state(model: nn.Module, key: jax.Array, lr: float,
                        batch_size: int, cond_shape: Tuple[int, int],
-                       param_dim: int, ema: bool = False) -> TrainState:
+                       param_dim: int, ema: bool = False,
+                       flat_optimizer: bool = False) -> TrainState:
     x = jnp.zeros((batch_size, param_dim), jnp.float32)
     t = jnp.zeros((batch_size,), jnp.int32)
     cond = jnp.zeros((batch_size,) + tuple(cond_shape), jnp.float32)
     variables = model.init(key, x, t, cond)
-    tx = optax.adam(lr)
+    # optax.flatten: Adam over one flat vector — bitwise the same update
+    # (Adam is elementwise) in a handful of fused kernels instead of
+    # hundreds of leaf-sized ones (benchmarks/train_mfu.py)
+    tx = (optax.flatten(optax.adam(lr)) if flat_optimizer
+          else optax.adam(lr))
     ema_params = (jax.tree_util.tree_map(jnp.copy, variables["params"])
                   if ema else None)
     return TrainState.create(apply_fn=model.apply,
@@ -401,7 +406,9 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
 
     state = create_train_state(model, init_key, tcfg.lr, tcfg.batch_size,
                                dataset.cond_shape, dataset.param_dim,
-                               ema=tcfg.ema_decay > 0.0)
+                               ema=tcfg.ema_decay > 0.0,
+                               flat_optimizer=getattr(
+                                   tcfg, "flat_optimizer", False))
 
     data_shard = None
     if mesh is not None:
@@ -634,7 +641,9 @@ def load_best_model(checkpoint_dir: str, cfg: ExperimentConfig,
         cond_shape, param_dim = dataset_or_shapes
     state = create_train_state(model, jax.random.key(0), cfg.train.lr,
                                cfg.train.batch_size, cond_shape, param_dim,
-                               ema=cfg.train.ema_decay > 0.0)
+                               ema=cfg.train.ema_decay > 0.0,
+                               flat_optimizer=getattr(
+                                   cfg.train, "flat_optimizer", False))
     template = _state_dict(state)
     restored, meta, scalers = ckpt_lib.restore_checkpoint(
         f"{checkpoint_dir}/best", template)

@@ -205,3 +205,26 @@ def test_torch_statistical_parity():
     # statistical parity: same loss scale and both decreasing
     assert abs(ours[-1] - losses[-1]) < 0.2, (ours[-1], losses[-1])
     assert ours[-1] < ours[0] and losses[-1] < losses[0]
+
+
+def test_flat_optimizer_identical_training(tmp_path, tiny_dataset):
+    """flat_optimizer=True (Adam over one flattened vector) is a pure
+    compilation-shape change: identical loss histories and best-val
+    selection to the per-leaf Adam (elementwise optimizer => the update
+    math is unchanged)."""
+    def cfg(sub, flat):
+        return configs.ExperimentConfig(
+            diffusion=configs.DiffusionConfig(T=10),
+            model=dataclasses.replace(configs.ModelConfig(),
+                                      cond_length=96, cond_channels=4),
+            train=dataclasses.replace(
+                configs.TrainConfig(), num_epochs=5, batch_size=16,
+                checkpoint_dir=str(tmp_path / sub), log_every=100,
+                flat_optimizer=flat))
+
+    a = train(cfg("tree", False), tiny_dataset)
+    b = train(cfg("flat", True), tiny_dataset)
+    np.testing.assert_allclose(a.train_history, b.train_history,
+                               rtol=1e-6)
+    np.testing.assert_allclose(a.val_history, b.val_history, rtol=1e-6)
+    assert a.best_epoch == b.best_epoch
