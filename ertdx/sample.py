@@ -55,8 +55,12 @@ def _cache_token(obj):
 def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
                  truncate_steps, T: int, cond_shape, batch: int,
                  mesh=None):
+    # temperature is deliberately NOT in the cache key: it enters the
+    # jitted program as a traced scalar argument (pure data), so a
+    # temperature sweep reuses one compilation instead of recompiling
+    # the whole reverse scan per value
     key_ = (_cache_token(model), n_realizations, P, scfg.sampler,
-            scfg.ddim_steps, scfg.ddim_eta, scfg.temperature,
+            scfg.ddim_steps, scfg.ddim_eta,
             truncate_steps, T, tuple(cond_shape), batch,
             _cache_token(mesh))
     fn = _ENSEMBLE_CACHE.get(key_)
@@ -64,12 +68,16 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
         return fn
 
     if scfg.sampler == "ddim":
-        sampler = functools.partial(sample_ddim, num_steps=scfg.ddim_steps,
-                                    eta=scfg.ddim_eta)
+        def sampler(fn_, key, shape, schedule, temperature):
+            del temperature        # DDIM eta controls stochasticity
+            return sample_ddim(fn_, key, shape, schedule=schedule,
+                               num_steps=scfg.ddim_steps,
+                               eta=scfg.ddim_eta)
     else:
-        sampler = functools.partial(sample_ancestral,
+        def sampler(fn_, key, shape, schedule, temperature):
+            return sample_ancestral(fn_, key, shape, schedule=schedule,
                                     truncate_steps=truncate_steps,
-                                    temperature=scfg.temperature)
+                                    temperature=temperature)
 
     shard_chains = None
     if mesh is not None:
@@ -86,7 +94,8 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
         if ensemble_native else None
 
     @jax.jit
-    def run(params, condition, key, schedule):
+    def run(params, condition, key, schedule,
+            temperature=jnp.float32(1.0)):
         B = condition.shape[0]
         cond_ctx = model.apply({"params": params}, condition,
                                method=model.encode_condition)
@@ -104,7 +113,7 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
                                                  n_realizations, **mega)
 
             u = sampler(denoise_fn, key, (n_realizations * B, P),
-                        schedule=schedule)
+                        schedule, temperature)
             return u.reshape(B, n_realizations, P).transpose(1, 0, 2)
         if ensemble_native:
             # condition-major layout (chain index = b*R + r): the model
@@ -119,7 +128,7 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
                                    method=model.denoise_ensemble)
 
             u = sampler(denoise_fn, key, (n_realizations * B, P),
-                        schedule=schedule)
+                        schedule, temperature)
             return u.reshape(B, n_realizations, P).transpose(1, 0, 2)
 
         # generic models: realization-major layout — index r*B + b — the
@@ -138,7 +147,7 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
                                method=model.denoise)
 
         u = sampler(denoise_fn, key, (n_realizations * B, P),
-                    schedule=schedule)
+                    schedule, temperature)
         return u.reshape(n_realizations, B, P)
 
     if len(_ENSEMBLE_CACHE) >= _ENSEMBLE_CACHE_MAX:
@@ -169,7 +178,8 @@ def posterior_ensemble(model, params, condition: jax.Array,
     run = _ensemble_fn(model, n_realizations, P, scfg, truncate_steps,
                        schedule.num_steps, condition.shape[1:],
                        condition.shape[0], mesh)
-    return run(params, condition, key, schedule)
+    return run(params, condition, key, schedule,
+               jnp.float32(scfg.temperature))
 
 
 def inverse_pipeline(u: jax.Array, param_scaler, a: float = 0.0,

@@ -188,3 +188,44 @@ def test_ensemble_cache_not_id_keyed(tiny_dataset):
     u32b = run_one(32, jax.random.key(1))
     assert len(sample_mod._ENSEMBLE_CACHE) == 2
     np.testing.assert_array_equal(u32, u32b)
+
+
+def test_temperature_is_traced_not_compiled(tiny_dataset):
+    """Sampler temperature is a traced argument: sweeping it reuses ONE
+    compiled ensemble program (the cache key excludes it), and the value
+    still takes effect (temperature=0 removes per-step noise)."""
+    import dataclasses as _dc
+
+    from ertdx import configs as _cfgs
+    from ertdx.diffusion import get_diffusion_schedule
+    from ertdx.models import build_model
+    from ertdx.sample import _ENSEMBLE_CACHE, _ensemble_fn, \
+        posterior_ensemble
+
+    mcfg = _dc.replace(_cfgs.ModelConfig(), cond_length=96,
+                       cond_channels=4)
+    model = build_model(mcfg)
+    x = jnp.zeros((2, 29), jnp.float32)
+    t = jnp.zeros((2,), jnp.int32)
+    cond = jnp.asarray(tiny_dataset.conditions[:2])
+    params = model.init(jax.random.key(0), x, t, cond)["params"]
+    sch = get_diffusion_schedule(10)
+
+    _ENSEMBLE_CACHE.clear()
+    runs = []
+    for temp in (1.0, 2.0, 0.0):
+        scfg = _cfgs.SampleConfig(uncertainty_samples=6, temperature=temp)
+        runs.append(_ensemble_fn(model, 6, 29, scfg, None, 10,
+                                 cond.shape[1:], 2))
+    assert runs[0] is runs[1] is runs[2]      # one program, swept values
+    assert len(_ENSEMBLE_CACHE) == 1
+
+    def draws(temp):
+        scfg = _cfgs.SampleConfig(uncertainty_samples=6, temperature=temp)
+        return np.asarray(posterior_ensemble(
+            model, params, cond, sch, jax.random.key(1), 6, scfg))
+
+    hot = draws(3.0)
+    cold = draws(0.0)
+    # same key: the only difference is the per-step noise scale
+    assert hot.std() > cold.std()
