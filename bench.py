@@ -183,6 +183,41 @@ def _spread(sorted_vals) -> dict:
             "p75": v[min(n - 1, (3 * n) // 4)]}
 
 
+def _measure_train_step_scan(model_name: str, n_iter: int = 256,
+                             reps: int = 5) -> float:
+    """Pure train-step time (fwd+bwd+Adam), scan-amortized with the
+    state threaded through the carry — no val scans, no gathers. The
+    honest denominator for per-step MFU (the epoch-scan headline also
+    pays for validation work its numerator never credits)."""
+    from ertdx.train import make_train_step
+
+    model, sch, state = _build(model_name)
+    step = make_train_step(model.apply, sch, donate=False)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(REF_BATCH, PARAM_DIM)), jnp.float32)
+    cond = jnp.asarray(rng.uniform(size=(REF_BATCH, REF_LEN, REF_CH)),
+                       jnp.float32)
+    w = jnp.ones(REF_BATCH)
+
+    @jax.jit
+    def run(state, key):
+        def st(s, k):
+            s, loss = step(s, x0, cond, w, k)
+            return s, loss
+        _, losses = jax.lax.scan(st, state, jax.random.split(key, n_iter))
+        return losses
+
+    out = run(state, jax.random.key(0))
+    _ = float(out[-1])
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = run(state, jax.random.key(1 + i))
+        _ = float(out[-1])
+        times.append((time.perf_counter() - t0) / n_iter)
+    return sorted(times)[len(times) // 2]
+
+
 def _measure_train_big_batch(model_name: str, batch: int = 256,
                              steps: int = 12, warmup: int = 3) -> dict:
     """Large-batch train step at the reference condition grid: shows the
@@ -312,21 +347,24 @@ def _measure_uq_testset(model_name: str, n_test: int = 508,
     scaler = MinMaxScaler.fit(
         rng.uniform(size=(64, PARAM_DIM)).astype(np.float32))
     scfg = SampleConfig(uncertainty_samples=n_real)
-    # warm (compiles each distinct batch shape once)
-    posterior_over_dataset(model, state.params, conds[:batch], sch,
-                           jax.random.key(0), scaler, n_realizations=n_real,
-                           batch_size=batch, scfg=scfg)
-    times = []
-    for i in range(2):
-        t0 = time.perf_counter()
-        pred, mask = posterior_over_dataset(
-            model, state.params, conds, sch, jax.random.key(1 + i),
-            scaler, n_realizations=n_real, batch_size=batch, scfg=scfg)
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[0]
-    return {"uq_testset_seconds": dt,
-            "uq_testset_chains_per_sec": n_test * n_real / dt,
-            "uq_testset_shape": f"{n_test}x{n_real}xT{T}"}
+    out = {"uq_testset_shape": f"{n_test}x{n_real}xT{T}"}
+    for label, bsz in (("", batch), ("_1dispatch", n_test)):
+        # warm (compiles each distinct batch shape once)
+        posterior_over_dataset(model, state.params, conds[:bsz], sch,
+                               jax.random.key(0), scaler,
+                               n_realizations=n_real, batch_size=bsz,
+                               scfg=scfg)
+        times = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            pred, mask = posterior_over_dataset(
+                model, state.params, conds, sch, jax.random.key(1 + i),
+                scaler, n_realizations=n_real, batch_size=bsz, scfg=scfg)
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[0]
+        out[f"uq_testset_seconds{label}"] = dt
+        out[f"uq_testset_chains_per_sec{label}"] = n_test * n_real / dt
+    return out
 
 
 def _sample_flops(model_name: str, n_real: int, steps: int) -> float:
@@ -380,6 +418,16 @@ def main() -> int:
             extras["mfu_train_p75"] = tf * hl["p75"] / peak
     except Exception as e:  # noqa: BLE001 — bench must still print its line
         extras["train_flops_error"] = str(e)[:200]
+
+    # pure train-step rate (no val scans/gathers): per-step MFU denominator
+    try:
+        dt_step = _measure_train_step_scan("condunet")
+        extras["condunet_train_step_ms"] = dt_step * 1e3
+        tf = extras.get("condunet_train_flops_per_step", float("nan"))
+        if tf == tf and peak == peak:
+            extras["mfu_train_step"] = tf / dt_step / peak
+    except Exception as e:  # noqa: BLE001
+        extras["train_step_error"] = str(e)[:200]
 
     # test-set-wide UQ (the reference's terminal workload)
     try:

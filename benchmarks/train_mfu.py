@@ -67,6 +67,11 @@ def main() -> int:
     cfg = dataclasses.replace(ModelConfig(), name="condunet",
                               cond_length=L, cond_channels=C)
     model = build_model(cfg)
+    # width-aware fused GN+SiLU+conv3 (>=256-channel ResBlocks only):
+    # the isolated kernel wins those shapes (kernel_bench); this is the
+    # end-to-end train-step A/B
+    model_fc = build_model(dataclasses.replace(cfg,
+                                               pallas_conv_min_width=256))
     sch = get_diffusion_schedule(T)
     ab = sch.alpha_bar
     rng = np.random.default_rng(0)
@@ -75,14 +80,15 @@ def main() -> int:
 
     state_tree = _mk_state(model, B, optax.adam(1e-4))
     state_flat = _mk_state(model, B, optax.flatten(optax.adam(1e-4)))
+    state_fc = _mk_state(model_fc, B, optax.adam(1e-4))
     params = state_tree.params
 
-    def batch_loss(p, key):
+    def batch_loss(p, key, mdl=None):
         kt, kn = jax.random.split(key)
         t = jax.random.randint(kt, (B,), 0, T, jnp.int32)
         noise = jax.random.normal(kn, x0.shape, x0.dtype)
         x_noisy = q_sample(x0, t, noise, ab)
-        eps_hat = model.apply({"params": p}, x_noisy, t, cond)
+        eps_hat = (mdl or model).apply({"params": p}, x_noisy, t, cond)
         return jnp.mean((eps_hat - noise) ** 2)
 
     @jax.jit
@@ -125,8 +131,19 @@ def main() -> int:
         _, losses = jax.lax.scan(st, 0.0, jax.random.split(key, N_ITER))
         return losses
 
+    @jax.jit
+    def run_full_fc(state, key):
+        def st(s, k):
+            loss, grads = jax.value_and_grad(
+                lambda p, kk: batch_loss(p, kk, model_fc))(s.params, k)
+            return s.apply_gradients(grads=grads), loss
+        state, losses = jax.lax.scan(st, state,
+                                     jax.random.split(key, N_ITER))
+        return losses
+
     variants = {
         "full_adam": (run_full, (state_tree,)),
+        "full_adam_fusedconv": (run_full_fc, (state_fc,)),
         "full_adam_flat": (run_full, (state_flat,)),
         "full_sgd": (run_sgd, (params,)),
         "grads_only": (run_grads, (params,)),

@@ -39,6 +39,11 @@ class ModelConfig:
     pallas_conv: bool = False      # pallas fused GN+SiLU+conv3 in the
                                    # encoder ResBlocks (A/B in
                                    # benchmarks/kernel_bench.py)
+    pallas_conv_min_width: int = 0  # width-aware fused-conv dispatch:
+                                    # fuse only ResBlocks >= this width
+                                    # (256 = measured fwd+bwd crossover,
+                                    # kernel_bench; 0 = off). Changes the
+                                    # affected blocks' param-tree layout.
     ensemble_pallas: bool = False  # fused ensemble-core attention pair
                                    # (block-diagonal self-attn + folded
                                    # cross-attn, ops/ensemble_attn.py) at

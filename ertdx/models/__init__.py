@@ -30,6 +30,7 @@ def build_model(cfg: ModelConfig):
                         use_pallas=cfg.use_pallas,
                         pallas_gn=cfg.pallas_gn,
                         pallas_conv=cfg.pallas_conv,
+                        pallas_conv_min_width=cfg.pallas_conv_min_width,
                         ensemble_pallas=cfg.ensemble_pallas,
                         ensemble_min_chains=cfg.ensemble_min_chains,
                         ensemble_mega=cfg.ensemble_mega,

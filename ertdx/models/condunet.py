@@ -168,7 +168,19 @@ class ConditionEncoder(nn.Module):
     use_pallas: bool = True
     pallas_gn: bool = False
     pallas_conv: bool = False
+    # width-aware dispatch: fuse GN+SiLU+conv3 ONLY for ResBlocks at or
+    # above this channel width (kernel_bench: the fused kernel wins
+    # fwd+bwd at 256 channels, 1.17-1.44x, and loses at the 128-channel
+    # stem). 0 disables auto dispatch; pallas_conv=True forces it
+    # everywhere. NOTE: switching changes the flax param tree of the
+    # affected blocks (FusedGNConv vs GNSiLU+Conv) — checkpoints are
+    # layout-compatible only within one setting.
+    pallas_conv_min_width: int = 0
     dtype: Any = jnp.float32
+
+    def _conv_fused(self, width: int) -> bool:
+        return self.pallas_conv or (self.pallas_conv_min_width > 0
+                                    and width >= self.pallas_conv_min_width)
 
     @nn.compact
     def __call__(self, condition) -> Tuple[jax.Array, jax.Array]:
@@ -180,18 +192,19 @@ class ConditionEncoder(nn.Module):
         w0 = 2 * self.base_width
         h = nn.Dense(w0, dtype=self.dtype)(h)             # patchify stem
         h = ResBlock1D(w0, use_pallas=self.pallas_gn,
-                       pallas_conv=self.pallas_conv, dtype=self.dtype)(h)
+                       pallas_conv=self._conv_fused(w0),
+                       dtype=self.dtype)(h)
         for i in range(self.depth - 1):
             w = min(w0 * (2 ** (i + 1)), 4 * self.base_width)
             h = nn.Conv(w, (3,), strides=(2,), padding="SAME",
                         dtype=self.dtype)(h)
             h = ResBlock1D(w, use_pallas=self.pallas_gn,
-                           pallas_conv=self.pallas_conv,
+                           pallas_conv=self._conv_fused(w),
                            dtype=self.dtype)(h)
         h = SelfAttention1D(self.num_heads, self.use_pallas,
                             dtype=self.dtype)(h)
         h = ResBlock1D(h.shape[-1], use_pallas=self.pallas_gn,
-                       pallas_conv=self.pallas_conv,
+                       pallas_conv=self._conv_fused(h.shape[-1]),
                        dtype=self.dtype)(h)
         tokens = nn.Dense(self.hidden_dim, dtype=self.dtype)(h)
         pooled = jnp.mean(tokens, axis=1)                # (B, D)
@@ -323,6 +336,11 @@ class CondUNet(nn.Module):
                                  # fused GN across widths; XLA default
     pallas_conv: bool = False    # fused GN+SiLU+conv3 encoder kernel
                                  # (dispatch per benchmarks/kernel_bench.py)
+    pallas_conv_min_width: int = 0  # width-aware fused-conv dispatch:
+                                    # fuse only ResBlocks >= this channel
+                                    # width (256 = measured crossover;
+                                    # 0 = off). Changes the param tree of
+                                    # affected blocks.
     ensemble_pallas: bool = False  # fused block-diagonal self-attn +
                                    # VMEM-resident folded cross-attn at
                                    # ensemble chain counts (ensemble_attn);
@@ -344,7 +362,9 @@ class CondUNet(nn.Module):
             hidden_dim=self.hidden_dim, base_width=self.base_width,
             depth=self.depth, num_heads=self.num_heads, patch=self.patch,
             use_pallas=self.use_pallas, pallas_gn=self.pallas_gn,
-            pallas_conv=self.pallas_conv, dtype=self.dtype)
+            pallas_conv=self.pallas_conv,
+            pallas_conv_min_width=self.pallas_conv_min_width,
+            dtype=self.dtype)
         self.lift = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.pos_emb = self.param(
             "pos_emb", nn.initializers.normal(0.02),
