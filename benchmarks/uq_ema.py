@@ -61,7 +61,11 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--model", default="condunet")
     ap.add_argument("--ema", type=float, default=0.999)
+    ap.add_argument("--stages", default=",".join(map(str, STAGES)),
+                    help="comma list; completed stages merge from the "
+                         "existing JSON (interrupted-run continuation)")
     args = ap.parse_args()
+    stages = tuple(int(s) for s in args.stages.split(","))
 
     rdir = OUT / f"{args.model}_ema_s{args.seed}"
     rdir.mkdir(parents=True, exist_ok=True)
@@ -117,7 +121,12 @@ def main() -> int:
 
     out = {"model": args.model, "seed": args.seed, "ema_decay": args.ema,
            "n_real": N_REAL, "n_test": int(len(test_idx)), "stages": {}}
-    for epochs in STAGES:
+    prior = OUT / f"ema_s{args.seed}.json"
+    if prior.exists():     # continuation after an interrupted campaign
+        out["stages"] = json.loads(prior.read_text()).get("stages", {})
+    for epochs in stages:
+        if str(epochs) in out["stages"]:
+            continue
         t0 = time.perf_counter()
         res = train(stage_cfg(epochs), ds, resume=True)
         wall = time.perf_counter() - t0
@@ -132,7 +141,7 @@ def main() -> int:
     # best-val checkpoint (the flagship campaign's selection rule): raw
     # vs its EMA companion, plus EMA at the tempering sweep's pick
     best_state, meta, _ = load_best_model(str(rdir / "ckpt"),
-                                          stage_cfg(STAGES[-1]), ds)
+                                          stage_cfg(stages[-1]), ds)
     out["best_val_epoch"] = int(meta.get("epoch", -1))
     out["best"] = {"raw": run_uq(best_state.params, "best/raw"),
                    "ema": run_uq(best_state.ema_params, "best/ema"),

@@ -30,7 +30,8 @@ import numpy as np
 
 from ..ops.core_block import (_CORE_VMEM_BUDGET, block_vmem_bytes,
                               fused_core_block, fused_core_stack,
-                              pick_chunk, stack_vmem_bytes)
+                              pick_block_chunk, pick_chunk,
+                              pick_stack_outer, stack_vmem_bytes)
 from .common import get_timestep_embedding
 
 _LN_EPS = 1e-6   # flax nn.LayerNorm default
@@ -101,25 +102,25 @@ def mega_plan(model, n_real: int, batch: int = 1,
         local_batch = batch // n_d
     if n_real * local_batch < MIN_TOTAL_CHAINS:
         return None
-    chunk = pick_chunk(n_real, model.param_dim)
-    if chunk == 0:
-        return None
     p, d, nb = model.param_dim, model.hidden_dim, model.num_blocks
     accurate = bool(getattr(model, "ensemble_mega_accurate", False))
     lk = (cond_token_len(model, cond_len) if cond_len is not None
           else 2 * 128)   # unknown length: assume two padded lane groups
     # one-kernel whole-core variant preferred: measured 2.44x vs XLA at
     # configs[3] (vs 2.07x for kernel-per-block) and neutral (1.02x)
-    # even at 1,024 total chains — benchmarks/mega_ab.py
-    if stack_vmem_bytes(p, d, nb, lk, n_real,
-                        accurate) <= _CORE_VMEM_BUDGET:
-        stack = True
-    elif block_vmem_bytes(p, d, lk, chunk, accurate) <= _CORE_VMEM_BUDGET:
-        stack = False
-    else:
-        return None
-    return {"p": p, "d": d, "num_blocks": nb, "chunk": chunk,
-            "accurate": accurate, "stack": stack}
+    # even at 1,024 total chains — benchmarks/mega_ab.py. Both pickers
+    # are budget-aware: wider configs (d >= 256, large R) shrink the
+    # tile/chunk until the working set fits VMEM instead of abandoning
+    # the fused path; only truly oversize configs return None (-> XLA).
+    outer = pick_stack_outer(n_real, p, d, nb, lk, accurate)
+    if outer:
+        return {"p": p, "d": d, "num_blocks": nb, "chunk": outer,
+                "accurate": accurate, "stack": True, "outer": outer}
+    chunk = pick_block_chunk(n_real, p, d, lk, accurate)
+    if chunk:
+        return {"p": p, "d": d, "num_blocks": nb, "chunk": chunk,
+                "accurate": accurate, "stack": False, "outer": 0}
+    return None
 
 
 def _cvec_silu(params, t, cond_vec, d):
@@ -145,7 +146,7 @@ def _block_mods_kv(w, sc, cond_tokens):
 def mega_denoise_ensemble(params, x, t, cond_ctx, n_real: int, *, p: int,
                           d: int, num_blocks: int, chunk: int,
                           accurate: bool = False, stack: bool = True,
-                          interpret: bool = False):
+                          outer: int = 0, interpret: bool = False):
     """(B*n_real, P) condition-major chains -> eps_hat, fused core.
 
     stack=True (default) runs lift -> all blocks -> head as ONE kernel
@@ -179,7 +180,8 @@ def mega_denoise_ensemble(params, x, t, cond_ctx, n_real: int, *, p: int,
             params["pos_emb"], params["out_norm"]["scale"][None, :],
             params["out_norm"]["bias"][None, :],
             params["head"]["kernel"], params["head"]["bias"][None, :],
-            p=p, chunk=n_real, accurate=accurate, interpret=interpret)
+            p=p, chunk=n_real, accurate=accurate, interpret=interpret,
+            outer=outer)
         return out.reshape(n, p)
 
     tokens = (x[..., None] @ params["lift"]["kernel"]

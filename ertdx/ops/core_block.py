@@ -157,26 +157,52 @@ def _core_block_kernel(x_ref, mods_ref, k_ref, v_ref, wqkv_ref, wso_ref,
     o_ref[0] = (x2 + dot(h, w2_ref[:, :]) + b2_ref[:]).astype(o_ref.dtype)
 
 
-def pick_chunk(n_real: int, p: int) -> int:
-    """Chains per program: a divisor of R, 8-tileable or single-tileable.
+def chunk_candidates(n_real: int, p: int) -> list:
+    """Valid chains-per-tile values, best first.
 
-    Prefers the largest 8-divisible divisor whose slab stays VMEM-sized
-    (<= 64 chains AND <= ~2048 rows of chunk*p tokens — p-aware so large
-    param_dims shrink the tile instead of blowing VMEM), else the largest
-    divisor <= MAX_SINGLE_TILE chains / ~384 rows (whole-chunk logit
-    tile). Returns 0 when no valid chunk exists (caller -> XLA)."""
+    A valid tile is a divisor of R that is either 8-divisible (the
+    (8P, 8P) sub-tile self-attention path) within the p-aware row cap,
+    or small enough for one whole-chunk logit tile. Order: 8-divisible
+    descending (larger tiles amortize better), then small tiles
+    descending — so [0] reproduces the historical pick_chunk choice and
+    later entries trade tile size for VMEM (budget-aware dispatch,
+    pick_stack_outer/pick_block_chunk)."""
     cap8 = min(n_real, 64, max(1, 2048 // p))
     cap_small = min(MAX_SINGLE_TILE, max(1, 384 // p))
-    best8 = 0
-    best_small = 0
-    for c in range(1, min(n_real, cap8) + 1):
-        if n_real % c:
-            continue
-        if c % 8 == 0:
-            best8 = c
-        if c <= cap_small:
-            best_small = c
-    return best8 or best_small
+    div = [c for c in range(1, n_real + 1) if n_real % c == 0]
+    eights = [c for c in div if c % 8 == 0 and c <= cap8]
+    smalls = [c for c in div if c % 8 and c <= cap_small]
+    return sorted(eights, reverse=True) + sorted(smalls, reverse=True)
+
+
+def pick_chunk(n_real: int, p: int) -> int:
+    """Chains per program: the best candidate tile (see
+    chunk_candidates), or 0 when none exists (caller -> XLA)."""
+    cands = chunk_candidates(n_real, p)
+    return cands[0] if cands else 0
+
+
+def pick_stack_outer(n_real: int, p: int, d: int, nb: int, lk: int,
+                     accurate: bool = False) -> int:
+    """Largest in-kernel tile whose fused_core_stack working set fits
+    the VMEM budget; 0 if no tile fits. Wider configs (d >= 256, large
+    R) thus shrink the tile instead of abandoning the fused path."""
+    for c in chunk_candidates(n_real, p):
+        if stack_vmem_bytes(p, d, nb, lk, n_real, accurate,
+                            outer=c) <= _CORE_VMEM_BUDGET:
+            return c
+    return 0
+
+
+def pick_block_chunk(n_real: int, p: int, d: int, lk: int,
+                     accurate: bool = False) -> int:
+    """Largest slab chunk whose fused_core_block working set fits the
+    VMEM budget; 0 if none fits."""
+    for c in chunk_candidates(n_real, p):
+        if block_vmem_bytes(p, d, lk, c,
+                            accurate) <= _CORE_VMEM_BUDGET:
+            return c
+    return 0
 
 
 # Per-core VMEM working-set budget for the fused-core kernels: v5e
@@ -191,7 +217,7 @@ _CORE_VMEM_BUDGET = 16 * 2 ** 20
 
 
 def stack_vmem_bytes(p: int, d: int, nb: int, lk: int, chunk: int,
-                     accurate: bool = False) -> int:
+                     accurate: bool = False, outer: int = 0) -> int:
     """VMEM working-set estimate for fused_core_stack (bytes, f32).
 
     fixed: BlockSpec-resident operands (compact x in/out, AdaLN mods,
@@ -199,8 +225,10 @@ def stack_vmem_bytes(p: int, d: int, nb: int, lk: int, chunk: int,
     peak live value set of one `outer`-chain tile (one-hot relayout
     mats, the resident (rows_o, d) activation + the MLP widening, self
     logit tiles s/e, cross logit rows s/e, a qkv tile). accurate mode
-    adds the hi/lo operand copies of the widest matmul."""
-    outer = pick_chunk(chunk, p)
+    adds the hi/lo operand copies of the widest matmul. outer=0 uses
+    the default tile (pick_chunk); pass an explicit tile to size a
+    budget-shrunk candidate (pick_stack_outer)."""
+    outer = outer or pick_chunk(chunk, p)
     if outer == 0:
         return 1 << 62
     tile = 8 if outer % 8 == 0 else outer
@@ -406,7 +434,8 @@ def _core_stack_kernel(x_ref, mods_ref, k_ref, v_ref, wqkv_ref, wso_ref,
 
 def fused_core_stack(x, mods, k, v, ws, lift_w, lift_b, pos_emb, on_scale,
                      on_bias, head_w, head_b, *, p: int, chunk: int,
-                     accurate: bool = False, interpret: bool = False):
+                     accurate: bool = False, interpret: bool = False,
+                     outer: int = 0):
     """The whole denoiser core, one pallas_call.
 
     x:    (B*n_chunks, chunk, p) compact chains (condition-major view)
@@ -432,7 +461,7 @@ def fused_core_stack(x, mods, k, v, ws, lift_w, lift_b, pos_emb, on_scale,
     if lkp != lk:
         k = jnp.pad(k, ((0, 0), (0, lkp - lk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lkp - lk), (0, 0)))
-    outer = pick_chunk(chunk, p)
+    outer = outer or pick_chunk(chunk, p)
     if outer == 0 or chunk % outer:
         raise ValueError(f"no valid tile for chunk={chunk}, p={p}")
     tile_chains = 8 if outer % 8 == 0 else outer

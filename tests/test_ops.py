@@ -430,13 +430,26 @@ def test_mega_denoise_odd_shapes(p, n_real, num_blocks, d):
                                     stack=stack, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=3e-5, atol=3e-5)
+    # budget-shrunk stack tile (outer below the default pick): the
+    # in-kernel fori_loop must stream more, smaller tiles to the same
+    # numbers — this is the path wide configs take under the VMEM gate
+    from ertdx.ops.core_block import chunk_candidates
+    cands = chunk_candidates(n_real, p)
+    if len(cands) > 1:
+        out = mega_denoise_ensemble(params, x, t, ctx, n_real, p=p, d=d,
+                                    num_blocks=num_blocks, chunk=chunk,
+                                    stack=True, outer=cands[1],
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
 
 
 def test_mega_plan_vmem_gate(monkeypatch):
     """Oversize configs (weight stacks/logit tiles beyond the ~16 MiB
-    VMEM budget) must fall back to the XLA path instead of reaching the
-    Mosaic compiler (ADVICE r2). Backend is faked to 'tpu' so the VMEM
-    check — not the backend gate — decides."""
+    VMEM budget) must never reach the Mosaic compiler (ADVICE r2): the
+    pickers first SHRINK the tile/chunk until the working set fits, and
+    only truly oversize configs fall back to XLA. Backend is faked to
+    'tpu' so the VMEM check — not the backend gate — decides."""
     import jax as _jax
     from ertdx.models.condunet import CondUNet
     from ertdx.models import mega as mega_mod
@@ -448,12 +461,21 @@ def test_mega_plan_vmem_gate(monkeypatch):
               num_blocks=4, num_heads=2, core_heads=1, ensemble_mega=True)
     ok = mega_mod.mega_plan(CondUNet(hidden_dim=128, **kw), 1000, 32)
     assert ok is not None and ok["stack"]          # production config fits
-    # hidden_dim 256: the per-block weight stacks alone blow the budget
-    assert mega_mod.mega_plan(CondUNet(hidden_dim=256, **kw),
-                              1000, 32) is None
+    # hidden_dim 256: the stack kernel's resident weight stacks blow the
+    # budget at EVERY tile, but the per-block kernel fits at a shrunk
+    # chunk — the plan degrades to it instead of abandoning the fused path
+    wide = mega_mod.mega_plan(CondUNet(hidden_dim=256, **kw), 1000, 32)
+    assert wide is not None and not wide["stack"]
+    assert block_vmem_bytes(29, 256, 147,
+                            wide["chunk"]) <= _CORE_VMEM_BUDGET
     assert stack_vmem_bytes(29, 256, 4, 147, 1000) > _CORE_VMEM_BUDGET
     assert block_vmem_bytes(29, 256, 147,
                             pick_chunk(1000, 29)) > _CORE_VMEM_BUDGET
+    # truly oversize (wide model AND huge param_dim): no chunk fits ->
+    # XLA fallback
+    assert mega_mod.mega_plan(
+        CondUNet(hidden_dim=1024, **{**kw, "param_dim": 512}),
+        1000, 32) is None
     # estimates are p-aware: a huge param_dim shrinks the tile, and the
     # working reference configs stay inside the budget
     assert pick_chunk(1000, 512) == 1
