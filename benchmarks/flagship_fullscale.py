@@ -50,7 +50,8 @@ N_REAL = 50
 UQ_BATCH = 100        # 100 x 50 = 5,000 chains/batch: fused-core engages
 
 
-def run(model_name: str, seed: int, epochs: int = EPOCHS) -> dict:
+def run(model_name: str, seed: int, epochs: int = EPOCHS,
+        dtype: str = "float32") -> dict:
     import jax
 
     from ertdx import configs, data as data_lib
@@ -61,14 +62,16 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS) -> dict:
     from ertdx.sample import posterior_over_dataset
     from ertdx.train import load_best_model, train
 
-    rdir = OUT / f"{model_name}_s{seed}"
+    tag = model_name if dtype == "float32" else f"{model_name}-bf16"
+    rdir = OUT / f"{tag}_s{seed}"
     rdir.mkdir(parents=True, exist_ok=True)
     ds, forward = make_dataset(return_forward=True)
 
     cfg = configs.ExperimentConfig(
         diffusion=configs.DiffusionConfig(T=T),
         model=dataclasses.replace(configs.ModelConfig(), name=model_name,
-                                  cond_length=L, cond_channels=C),
+                                  cond_length=L, cond_channels=C,
+                                  dtype=dtype),
         train=dataclasses.replace(
             configs.TrainConfig(), num_epochs=epochs, batch_size=BATCH,
             lr=LR, seed=seed, checkpoint_dir=str(rdir / "ckpt"),
@@ -128,7 +131,7 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS) -> dict:
         for i in range(8)]
 
     rec = {
-        "model": model_name, "seed": seed, "epochs": epochs,
+        "model": tag, "seed": seed, "epochs": epochs,
         "n_test": int(len(test_idx)), "n_real": N_REAL,
         "best_val": float(res.best_val_loss),
         "best_epoch": int(res.best_epoch),
@@ -229,12 +232,14 @@ def main():
                     choices=["condunet", "refmlp"])
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--epochs", type=int, default=EPOCHS)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
     OUT.mkdir(parents=True, exist_ok=True)
     if args.leg == "report":
         report()
         return
-    run(args.model, args.seed, args.epochs)
+    run(args.model, args.seed, args.epochs, args.dtype)
 
 
 if __name__ == "__main__":
