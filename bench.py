@@ -219,7 +219,8 @@ def _measure_train_step_scan(model_name: str, n_iter: int = 256,
 
 
 def _measure_train_big_batch(model_name: str, batch: int = 256,
-                             steps: int = 12, warmup: int = 3) -> dict:
+                             steps: int = 12, warmup: int = 3,
+                             dtype: str = "float32") -> dict:
     """Large-batch train step at the reference condition grid: shows the
     step scales with batch (the batch-32 grid is latency-dominated)."""
     from ertdx.configs import ModelConfig
@@ -228,7 +229,8 @@ def _measure_train_big_batch(model_name: str, batch: int = 256,
     from ertdx.train import create_train_state, make_train_step
 
     cfg = dataclasses.replace(ModelConfig(), name=model_name,
-                              cond_length=REF_LEN, cond_channels=REF_CH)
+                              cond_length=REF_LEN, cond_channels=REF_CH,
+                              dtype=dtype)
     model = build_model(cfg)
     sch = get_diffusion_schedule(T)
     state = create_train_state(model, jax.random.key(0), 1e-4, batch,
@@ -249,14 +251,15 @@ def _measure_train_big_batch(model_name: str, batch: int = 256,
                            jax.random.fold_in(key, 100 + i))
     _ = float(loss)
     rate = steps / (time.perf_counter() - t0)
-    out = {f"condunet_train_steps_per_sec_b{batch}": rate,
-           f"condunet_train_samples_per_sec_b{batch}": rate * batch}
+    sfx = f"b{batch}" + ("" if dtype == "float32" else "_bf16")
+    out = {f"condunet_train_steps_per_sec_{sfx}": rate,
+           f"condunet_train_samples_per_sec_{sfx}": rate * batch}
     jitted = jax.jit(lambda s, x, c, w, k: make_train_step(
         model.apply, sch, donate=False)(s, x, c, w, k))
     flops = _flops_of(jitted, state, x0, cond, w, key)
     peak = _peak_flops()
     if flops == flops and peak == peak:
-        out[f"mfu_train_b{batch}"] = flops * rate / peak
+        out[f"mfu_train_{sfx}"] = flops * rate / peak
     return out
 
 
@@ -477,6 +480,14 @@ def main() -> int:
         extras.update(b256)
     except Exception as e:  # noqa: BLE001
         extras["b256_error"] = str(e)[:200]
+    # b256 in bf16 compute: the measured 1.18x over f32 at this batch
+    # (benchmarks/train_bf16.py; quality-safe — 500-epoch best-val
+    # 0.469 vs the f32 seed band 0.483±0.010)
+    try:
+        extras.update(_measure_train_big_batch("condunet", batch=256,
+                                               dtype="bfloat16"))
+    except Exception as e:  # noqa: BLE001
+        extras["b256_bf16_error"] = str(e)[:200]
 
     record = {
         "metric": "U-Net denoiser (CondUNet) train steps/sec/chip, ref grid",

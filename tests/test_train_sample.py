@@ -229,3 +229,34 @@ def test_temperature_is_traced_not_compiled(tiny_dataset):
     cold = draws(0.0)
     # same key: the only difference is the per-step noise scale
     assert hot.std() > cold.std()
+
+
+def test_bf16_compute_dtype_train_and_sample(tiny_dataset):
+    """ModelConfig.dtype="bfloat16" (the measured big-batch throughput
+    option, docs/results/train_mfu/README.md §3b): flax convention keeps
+    params, optimizer state, and the loss in f32 while activations ride
+    bf16. Training runs, loss is finite and decreases, and the trained
+    model samples a finite posterior ensemble. dtype is plumbed for the
+    flagship only (build_model), so this pins the condunet path."""
+    cfg = _cfg(num_epochs=8)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, name="condunet",
+                                       dtype="bfloat16"))
+    res = train(cfg, tiny_dataset)
+    assert np.isfinite(res.train_history).all()
+    assert res.train_history[-1] < res.train_history[0]
+    # master weights + Adam moments stay f32 (mixed precision, not half)
+    for leaf in jax.tree_util.tree_leaves(res.state.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(res.state.opt_state):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            assert leaf.dtype == jnp.float32
+    model = build_model(cfg.model)
+    assert model.dtype == jnp.bfloat16    # dtype actually reached the model
+    sch = get_diffusion_schedule(cfg.diffusion.T)
+    cond = jnp.asarray(tiny_dataset.conditions[:1])
+    scfg = configs.SampleConfig(uncertainty_samples=4)
+    draws = posterior_ensemble(model, res.state.params, cond, sch,
+                               jax.random.key(0), 4, scfg)
+    assert np.isfinite(np.asarray(draws)).all()
