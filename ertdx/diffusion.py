@@ -123,13 +123,19 @@ def ddim_timesteps(T: int, num_steps: int) -> jnp.ndarray:
 
 def sample_ddim(denoise_fn: DenoiseFn, key: jax.Array, shape,
                 schedule: DiffusionSchedule, num_steps: int = 50,
-                eta: float = 0.0, dtype=jnp.float32) -> jax.Array:
+                eta: float = 0.0, temperature: float = 1.0,
+                dtype=jnp.float32) -> jax.Array:
     """DDIM sampler over an evenly spaced timestep subsequence.
 
     eta=0 gives the deterministic DDIM ODE path; eta=1 recovers DDPM-like
     stochasticity on the subsequence. This is the *correct* accelerated
     sampler the reference lacks (its `num_steps` argument merely truncates
     the chain, ERT_Conditional_Diffusion.py:104-108; see SURVEY.md §7).
+
+    `temperature` scales ONLY the injected noise (the reference's tempering
+    semantics, ERT_Conditional_Diffusion.py:115-118: sigma * temperature * z);
+    the deterministic mean update is untouched, so at eta=0 it is a no-op.
+    It may be a traced scalar — sweeping it reuses one compilation.
     """
     T = schedule.num_steps
     ts = ddim_timesteps(T, num_steps)  # increasing
@@ -155,7 +161,8 @@ def sample_ddim(denoise_fn: DenoiseFn, key: jax.Array, shape,
                  * jnp.sqrt(1.0 - abar_t / abar_prev))
         dir_coef = jnp.sqrt(jnp.clip(1.0 - abar_prev - sigma**2, 0.0, None))
         z = jax.random.normal(k, shape, dtype=dtype)
-        x = jnp.sqrt(abar_prev) * x0_hat + dir_coef * eps_hat + sigma * z
+        x = (jnp.sqrt(abar_prev) * x0_hat + dir_coef * eps_hat
+             + sigma * temperature * z)
         return x, None
 
     # scan from the noisiest subsequence point down to the cleanest

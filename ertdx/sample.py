@@ -69,10 +69,12 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
 
     if scfg.sampler == "ddim":
         def sampler(fn_, key, shape, schedule, temperature):
-            del temperature        # DDIM eta controls stochasticity
+            # temperature scales the injected noise only; a no-op at
+            # eta=0 (deterministic DDIM), tempering at eta>0
             return sample_ddim(fn_, key, shape, schedule=schedule,
                                num_steps=scfg.ddim_steps,
-                               eta=scfg.ddim_eta)
+                               eta=scfg.ddim_eta,
+                               temperature=temperature)
     else:
         def sampler(fn_, key, shape, schedule, temperature):
             return sample_ancestral(fn_, key, shape, schedule=schedule,

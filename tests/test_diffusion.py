@@ -124,6 +124,26 @@ def test_temperature_scales_stochasticity():
     assert cold.std() < 0.8 * warm.std()
 
 
+def test_ddim_temperature_semantics():
+    """DDIM temperature scales ONLY the injected noise: a bitwise no-op at
+    eta=0 (no noise term), tempering at eta=1 (temperature=0 collapses the
+    per-step noise -> tighter ensemble). Also accepts a traced scalar."""
+    sch = get_diffusion_schedule(100)
+    denoise = _perfect_denoiser(0.5)(sch)
+    k = jax.random.key(7)
+    det_a = np.asarray(sample_ddim(denoise, k, (64, 2), sch, num_steps=25,
+                                   eta=0.0, temperature=1.0))
+    det_b = np.asarray(sample_ddim(denoise, k, (64, 2), sch, num_steps=25,
+                                   eta=0.0, temperature=2.0))
+    np.testing.assert_array_equal(det_a, det_b)
+    cold = np.asarray(sample_ddim(denoise, k, (2000, 2), sch, num_steps=50,
+                                  eta=1.0, temperature=jnp.float32(0.0)))
+    warm = np.asarray(sample_ddim(denoise, k, (2000, 2), sch, num_steps=50,
+                                  eta=1.0, temperature=jnp.float32(1.0)))
+    assert np.isfinite(cold).all() and np.isfinite(warm).all()
+    assert cold.std() < 0.8 * warm.std()
+
+
 def test_ddim_eta1_matches_ancestral_statistically():
     """DDIM over the FULL schedule with eta=1 is the DDPM ancestral sampler
     (up to RNG stream): with the analytic denoiser both must reproduce the
