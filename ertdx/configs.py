@@ -104,10 +104,14 @@ class TrainConfig:
 @dataclasses.dataclass(frozen=True)
 class SampleConfig:
     uncertainty_samples: int = 50
+    # noise scaling: per-step injected noise for ancestral/ddim(eta>0);
+    # for the deterministic dpmpp ODE sampler it scales the INITIAL
+    # noise instead (prior tempering — the only knob an ODE admits)
     temperature: float = 1.0
-    sampler: str = "ancestral"     # "ancestral" | "ddim"
+    sampler: str = "ancestral"     # "ancestral" | "ddim" | "dpmpp"
     ddim_steps: int = 50
     ddim_eta: float = 0.0
+    dpmpp_steps: int = 15
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,7 +22,10 @@ Parity targets (tolerance, not bitwise, vs torch):
 
 Additions beyond the reference:
   * a correct DDIM subsequence sampler (eta in [0,1], 50-step default),
-    per BASELINE.json configs[3].
+    per BASELINE.json configs[3];
+  * DPM-Solver++(2M) (`sample_dpmpp_2m`): second-order multistep ODE
+    solver in data-prediction form (Lu et al. 2022, arXiv:2211.01095) —
+    DDIM-quality samples in ~10-15 denoiser calls instead of 50.
 """
 from __future__ import annotations
 
@@ -113,11 +116,19 @@ def sample_ancestral(denoise_fn: DenoiseFn, key: jax.Array, shape,
 
 
 def ddim_timesteps(T: int, num_steps: int) -> jnp.ndarray:
-    """Evenly spaced increasing subsequence of [0, T) with num_steps entries."""
+    """Evenly spaced increasing subsequence of [0, T) with num_steps entries.
+
+    Always includes both endpoints 0 and T-1 (round(linspace)): starting the
+    reverse chain anywhere below T-1 mismatches the N(0, I) prior by
+    sqrt(abar_start) and biases every subsequence sampler toward 0 — the old
+    stride-floor spacing (arange(n) * T//n) topped out at t=398 for
+    (T=500, n=200), a measured 0.18-sigma mean bias on the analytic target.
+    """
     if num_steps > T:
         raise ValueError(f"num_steps={num_steps} > T={T}")
-    step = T // num_steps
-    ts = (jnp.arange(num_steps) * step).astype(jnp.int32)
+    if num_steps == 1:
+        return jnp.array([T - 1], dtype=jnp.int32)
+    ts = jnp.round(jnp.linspace(0.0, T - 1, num_steps)).astype(jnp.int32)
     return ts
 
 
@@ -169,4 +180,109 @@ def sample_ddim(denoise_fn: DenoiseFn, key: jax.Array, shape,
     inputs = (ts[::-1], abar_seq[::-1], abar_prev_seq[::-1],
               step_keys)
     x_final, _ = jax.lax.scan(body, x_init, inputs)
+    return x_final
+
+
+def lambda_timesteps(schedule: DiffusionSchedule,
+                     num_steps: int) -> jnp.ndarray:
+    """Decreasing timestep subsequence uniform in log-SNR (lambda).
+
+    lambda_t = log(alpha_t/sigma_t) = 0.5 log(abar_t/(1-abar_t)). Uniform-t
+    grids put huge lambda jumps at the clean end of the chain, which is what
+    blows up multistep extrapolation at coarse step counts; the official
+    DPM-Solver defaults to this uniform-logSNR grid. Both endpoints (t=T-1,
+    t=0) are always included. Value-dependent but shape-static, so it works
+    on a traced schedule inside jit; nearest-t rounding can duplicate an
+    index at very coarse grids — sample_dpmpp_2m guards h=0 (the duplicate
+    step is an exact identity).
+    """
+    ab = schedule.alpha_bar.astype(jnp.float32)
+    lam = 0.5 * (jnp.log(ab) - jnp.log1p(-ab))     # decreasing in t
+    T = schedule.num_steps
+    if num_steps == 1:
+        return jnp.array([T - 1], dtype=jnp.int32)
+    frac = jnp.arange(num_steps, dtype=jnp.float32) / (num_steps - 1)
+    targets = lam[T - 1] + (lam[0] - lam[T - 1]) * frac   # increasing
+    # nearest t per target; lam strictly decreasing -> ts decreasing
+    ts_desc = jnp.argmin(jnp.abs(lam[None, :] - targets[:, None]), axis=1)
+    return ts_desc.astype(jnp.int32)
+
+
+def sample_dpmpp_2m(denoise_fn: DenoiseFn, key: jax.Array, shape,
+                    schedule: DiffusionSchedule, num_steps: int = 15,
+                    temperature: float = 1.0,
+                    dtype=jnp.float32) -> jax.Array:
+    """DPM-Solver++(2M): second-order multistep probability-flow ODE solver.
+
+    Data-prediction parameterization (Lu et al. 2022, arXiv:2211.01095,
+    Algorithm 2 'multistep'): with alpha_t = sqrt(abar_t),
+    sigma_t = sqrt(1-abar_t), lambda_t = log(alpha_t/sigma_t), each step
+    from point s to point u applies
+
+        x_u = (sigma_u/sigma_s) x_s - alpha_u (e^{-h} - 1) D,
+        h = lambda_u - lambda_s,
+        D = (1 + 1/(2r)) x0_s - (1/(2r)) x0_prev,  r = h_prev/h,
+
+    i.e. a linear multistep correction from the previous x0 prediction.
+    The first step and the final to-clean step are first-order (D = x0_s);
+    the clean limit (sigma_u -> 0, h -> inf) reduces exactly to returning
+    the extrapolated x0 — the same terminal rule as DDIM's abar_prev=1.
+
+    Deterministic (an ODE): the only randomness is the initial draw, so
+    `temperature` here scales the INITIAL noise x_T — prior tempering, the
+    only tempering an ODE sampler admits (different from ancestral/DDIM's
+    per-step noise scaling; see SampleConfig docs). At temperature=1 it
+    targets the same marginal as DDIM eta=0 with ~3x fewer denoiser calls
+    for matched discretization error (second vs first order).
+
+    The step grid is uniform in log-SNR (`lambda_timesteps`), the official
+    solver's default — uniform-t grids concentrate lambda jumps at the clean
+    end and measurably degrade the multistep correction at coarse budgets.
+    The whole chain is one lax.scan (num_steps denoiser calls), TPU-ready
+    for the same fused-core/ensemble paths as the other samplers.
+    """
+    B = shape[0]
+    ts_desc = lambda_timesteps(schedule, num_steps)   # noisiest first
+
+    x_init = temperature * jax.random.normal(key, shape, dtype=dtype)
+
+    alpha_bar = schedule.alpha_bar.astype(dtype)
+    abar_seq = alpha_bar[ts_desc]           # decreasing noise order
+    alpha_seq = jnp.sqrt(abar_seq)
+    sigma_seq = jnp.sqrt(1.0 - abar_seq)
+    lam_seq = jnp.log(alpha_seq) - jnp.log(sigma_seq)
+
+    # target point of step j is point j+1; the final target is clean
+    # (alpha=1, sigma=0, lambda=+inf) — handled by its exact limit below.
+    alpha_next = jnp.concatenate([alpha_seq[1:], jnp.ones((1,), dtype)])
+    sigma_next = jnp.concatenate([sigma_seq[1:], jnp.zeros((1,), dtype)])
+    lam_next = jnp.concatenate([lam_seq[1:], jnp.full((1,), jnp.inf, dtype)])
+    is_last = jnp.arange(num_steps) == num_steps - 1
+
+    def body(carry, inp):
+        x, x0_prev, h_prev, have_prev = carry
+        t_, a_s, s_s, l_s, a_u, s_u, l_u, last = inp
+        t_batch = jnp.full((B,), t_, dtype=jnp.int32)
+        eps_hat = denoise_fn(x, t_batch)
+        x0 = (x - s_s * eps_hat) / a_s
+        h = l_u - l_s
+        # second-order multistep correction coef = 1/(2r) = h/(2 h_prev);
+        # drops to first order on: the first step (no history), the final
+        # to-clean step (h = inf), and after a degenerate h_prev = 0 step
+        # (duplicate grid point — the step itself is an exact identity).
+        coef = jnp.where(have_prev & ~last & (h_prev > 0.0),
+                         h / (2.0 * jnp.where(h_prev > 0.0, h_prev, 1.0)),
+                         0.0)
+        D = (1.0 + coef) * x0 - coef * x0_prev
+        x_new = jnp.where(
+            last,
+            D,  # exact sigma_u -> 0 limit: x = alpha_u * D = D
+            (s_u / s_s) * x
+            - a_u * jnp.expm1(-jnp.where(last, 0.0, h)) * D)
+        return (x_new, x0, h, True), None
+
+    inputs = (ts_desc, alpha_seq, sigma_seq, lam_seq,
+              alpha_next, sigma_next, lam_next, is_last)
+    carry0 = (x_init, jnp.zeros(shape, dtype), jnp.ones((), dtype), False)
+    (x_final, _, _, _), _ = jax.lax.scan(body, carry0, inputs)
     return x_final

@@ -22,7 +22,8 @@ import numpy as np
 
 from . import transforms
 from .configs import SampleConfig
-from .diffusion import DiffusionSchedule, sample_ancestral, sample_ddim
+from .diffusion import (DiffusionSchedule, sample_ancestral, sample_ddim,
+                        sample_dpmpp_2m)
 from .models.mega import (mega_denoise_ensemble,
                           mega_denoise_ensemble_sharded, mega_plan)
 from .params import ParameterSpace
@@ -60,14 +61,23 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
     # temperature sweep reuses one compilation instead of recompiling
     # the whole reverse scan per value
     key_ = (_cache_token(model), n_realizations, P, scfg.sampler,
-            scfg.ddim_steps, scfg.ddim_eta,
+            scfg.ddim_steps, scfg.ddim_eta, scfg.dpmpp_steps,
             truncate_steps, T, tuple(cond_shape), batch,
             _cache_token(mesh))
     fn = _ENSEMBLE_CACHE.get(key_)
     if fn is not None:
         return fn
 
-    if scfg.sampler == "ddim":
+    if scfg.sampler not in ("ancestral", "ddim", "dpmpp"):
+        raise ValueError(f"unknown sampler {scfg.sampler!r} "
+                         "(expected 'ancestral', 'ddim' or 'dpmpp')")
+    if scfg.sampler == "dpmpp":
+        def sampler(fn_, key, shape, schedule, temperature):
+            # deterministic ODE: temperature tempers the PRIOR draw
+            return sample_dpmpp_2m(fn_, key, shape, schedule=schedule,
+                                   num_steps=scfg.dpmpp_steps,
+                                   temperature=temperature)
+    elif scfg.sampler == "ddim":
         def sampler(fn_, key, shape, schedule, temperature):
             # temperature scales the injected noise only; a no-op at
             # eta=0 (deterministic DDIM), tempering at eta>0

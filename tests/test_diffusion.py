@@ -3,7 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ertdx.diffusion import (ddim_timesteps, get_diffusion_schedule, q_sample,
-                             sample_ancestral, sample_ddim)
+                             sample_ancestral, sample_ddim, sample_dpmpp_2m)
 
 
 def test_schedule_closed_form():
@@ -88,8 +88,17 @@ def test_ddim_recovers_gaussian():
 def test_ddim_timesteps():
     ts = np.asarray(ddim_timesteps(500, 50))
     assert ts.shape == (50,)
-    assert ts[0] == 0 and ts[-1] == 490
-    assert (np.diff(ts) == 10).all()
+    # both endpoints included: the chain must start at the noisiest step
+    # or the N(0,I) prior is mismatched by sqrt(abar_start)
+    assert ts[0] == 0 and ts[-1] == 499
+    assert (np.diff(ts) >= 10).all() and (np.diff(ts) <= 11).all()
+    # full-schedule subsequence is the identity
+    assert (np.asarray(ddim_timesteps(200, 200)) == np.arange(200)).all()
+    # strictly increasing for any num_steps <= T
+    for n in (1, 2, 3, 7, 499, 500):
+        tsn = np.asarray(ddim_timesteps(500, n))
+        assert tsn.shape == (n,) and (np.diff(tsn) > 0).all()
+    assert np.asarray(ddim_timesteps(500, 1))[0] == 499
 
 
 def test_samplers_reproducible():
@@ -142,6 +151,63 @@ def test_ddim_temperature_semantics():
                                   eta=1.0, temperature=jnp.float32(1.0)))
     assert np.isfinite(cold).all() and np.isfinite(warm).all()
     assert cold.std() < 0.8 * warm.std()
+
+
+def test_dpmpp_matches_target_distribution():
+    """DPM-Solver++(2M) at 12 steps sits on the converged ODE solution and
+    near the analytic target N(mu, 1) (up to the schedule's inherent
+    sqrt(abar_T) prior mismatch, ~0.08 mean for T=500 — shared by ancestral
+    and DDIM alike, see test_sample_ancestral_* tolerances)."""
+    mu = 0.9
+    sch = get_diffusion_schedule(500)
+    denoise = _perfect_denoiser(mu)(sch)
+    coarse = np.asarray(sample_dpmpp_2m(denoise, jax.random.key(3), (6000, 2),
+                                        sch, num_steps=12))
+    fine = np.asarray(sample_dpmpp_2m(denoise, jax.random.key(3), (6000, 2),
+                                      sch, num_steps=100))
+    assert np.isfinite(coarse).all()
+    # 12 steps lands within tight moment distance of the converged solution
+    assert abs(coarse.mean() - fine.mean()) < 0.01
+    assert abs(coarse.std() - fine.std()) < 0.03
+    # and loosely on the analytic target
+    assert abs(coarse.mean() - mu) < 0.15
+    assert abs(coarse.std() - 1.0) < 0.1
+
+
+def test_dpmpp_beats_ddim_at_equal_steps():
+    """Second-order multistep has lower discretization error than first-order
+    DDIM at the same (small) denoiser-call budget: the coarse-grid terminal
+    moments sit closer to the analytic target."""
+    mu = 0.9
+    sch = get_diffusion_schedule(500)
+    denoise = _perfect_denoiser(mu)(sch)
+    n, steps = 8000, 8
+
+    def moment_err(x):
+        return abs(x.mean() - mu) + abs(x.std() - 1.0)
+
+    dpm = np.asarray(sample_dpmpp_2m(denoise, jax.random.key(4), (n, 2),
+                                     sch, num_steps=steps))
+    ddim = np.asarray(sample_ddim(denoise, jax.random.key(4), (n, 2),
+                                  sch, num_steps=steps, eta=0.0))
+    assert moment_err(dpm) < moment_err(ddim)
+
+
+def test_dpmpp_temperature_tempers_prior():
+    """For the deterministic ODE sampler, temperature scales the initial
+    draw: temp=0 collapses the ensemble to a point; larger temp widens it."""
+    sch = get_diffusion_schedule(200)
+    denoise = _perfect_denoiser(0.5)(sch)
+    k = jax.random.key(6)
+    frozen = np.asarray(sample_dpmpp_2m(denoise, k, (512, 2), sch,
+                                        num_steps=12, temperature=0.0))
+    base = np.asarray(sample_dpmpp_2m(denoise, k, (512, 2), sch,
+                                      num_steps=12, temperature=1.0))
+    warm = np.asarray(sample_dpmpp_2m(denoise, k, (512, 2), sch,
+                                      num_steps=12,
+                                      temperature=jnp.float32(1.5)))
+    assert frozen.std() < 1e-5
+    assert base.std() * 1.2 < warm.std()
 
 
 def test_ddim_eta1_matches_ancestral_statistically():
