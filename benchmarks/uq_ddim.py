@@ -55,9 +55,13 @@ def main() -> int:
     ap.add_argument("--skip-ancestral", action="store_true",
                     help="only run the DDIM arms (ancestral numbers "
                          "already in tempering_s{seed}.json)")
+    ap.add_argument("--dpmpp-steps", dest="dpmpp_steps", default="",
+                    help="comma list of DPM-Solver++(2M) step budgets to "
+                         "add as arms (prior tempering via --temps)")
     args = ap.parse_args()
-    temps = [float(t) for t in args.temps.split(",")]
-    etas = [float(e) for e in args.etas.split(",")]
+    temps = [float(t) for t in args.temps.split(",") if t]
+    etas = [float(e) for e in args.etas.split(",") if e]
+    dpmpp_steps = [int(s) for s in args.dpmpp_steps.split(",") if s]
 
     rdir = OUT / f"{args.model}_s{args.seed}"
     ds = make_dataset()
@@ -102,13 +106,25 @@ def main() -> int:
                 sampler="ddim", ddim_steps=args.ddim_steps, ddim_eta=eta)
             out["arms"][f"ddim{args.ddim_steps}_eta{eta}_T{temp}"] = \
                 run_arm(scfg, f"ddim{args.ddim_steps}_eta{eta}_T{temp}")
+        for steps in dpmpp_steps:
+            scfg = configs.SampleConfig(
+                uncertainty_samples=N_REAL, temperature=temp,
+                sampler="dpmpp", dpmpp_steps=steps)
+            out["arms"][f"dpmpp{steps}_T{temp}"] = run_arm(
+                scfg, f"dpmpp{steps}_T{temp}")
         if not args.skip_ancestral:
             scfg = configs.SampleConfig(uncertainty_samples=N_REAL,
                                         temperature=temp)
             out["arms"][f"ancestral_T{temp}"] = run_arm(
                 scfg, f"ancestral_T{temp}")
 
-    (OUT / f"ddim_uq_s{args.seed}.json").write_text(json.dumps(out))
+    # merge into any prior record so separate arm sweeps accumulate
+    path = OUT / f"ddim_uq_s{args.seed}.json"
+    if path.exists():
+        prior = json.loads(path.read_text())
+        prior.get("arms", {}).update(out["arms"])
+        out["arms"] = prior["arms"]
+    path.write_text(json.dumps(out))
     return 0
 
 

@@ -195,11 +195,25 @@ def cmd_sample(args) -> int:
     sch = get_diffusion_schedule(cfg.diffusion.T, cfg.diffusion.beta_start,
                                  cfg.diffusion.beta_end)
     mesh = make_mesh(data=args.mesh_data) if args.mesh_data else None
+    scfg = cfg.sample
+    overrides = {}
+    if args.sampler:
+        overrides["sampler"] = args.sampler
+    if args.temperature is not None:
+        overrides["temperature"] = args.temperature
+    if args.steps is not None:
+        # one flag steers whichever subsequence sampler is active
+        overrides["ddim_steps"] = args.steps
+        overrides["dpmpp_steps"] = args.steps
+    if args.eta is not None:
+        overrides["ddim_eta"] = args.eta
+    if overrides:
+        scfg = dataclasses.replace(scfg, **overrides)
     pred, mask = posterior_over_dataset(
         model, sample_params, ds.conditions[test_idx], sch,
         jax.random.key(args.seed or cfg.train.seed), ds.param_scaler,
         n_realizations=args.realizations, batch_size=cfg.train.batch_size,
-        scfg=cfg.sample, mesh=mesh)
+        scfg=scfg, mesh=mesh)
     np.save(args.out, pred)
     np.save(Path(args.out).with_name("valid_mask.npy"), mask)
     # true params for UQ comparison
@@ -384,6 +398,15 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--mesh-data", type=int, default=0)
     sa.add_argument("--ema", action="store_true",
                     help="sample with the EMA parameters from the checkpoint")
+    sa.add_argument("--sampler", choices=["ancestral", "ddim", "dpmpp"],
+                    default=None, help="override the preset's sampler")
+    sa.add_argument("--steps", type=int, default=None,
+                    help="subsequence step budget for ddim/dpmpp")
+    sa.add_argument("--eta", type=float, default=None,
+                    help="DDIM eta (0 = deterministic ODE)")
+    sa.add_argument("--temperature", type=float, default=None,
+                    help="noise tempering (per-step for ancestral/ddim "
+                         "eta>0; prior for dpmpp)")
     sa.add_argument("--out", default="Uncertainty_params.npy")
     sa.set_defaults(fn=cmd_sample)
 

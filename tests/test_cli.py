@@ -72,6 +72,18 @@ def test_train_then_sample_then_metrics(tmp_path):
         assert pred.shape[0] == 3 and pred.shape[2] == 29
         assert (tmp_path / "true_params.npy").exists()
 
+        # sampler overrides reach the posterior driver (dpmpp + tempering)
+        out2 = tmp_path / "pred_dpmpp.npy"
+        rc = main(["sample", "--params", str(p_path), "--ert", str(e_path),
+                   "--checkpoint-dir", str(ck), "--preset", "tiny_test",
+                   "--realizations", "3", "--sampler", "dpmpp",
+                   "--steps", "4", "--temperature", "1.2",
+                   "--out", str(out2)])
+        assert rc == 0
+        pred2 = np.load(out2)
+        assert pred2.shape == pred.shape
+        assert np.isfinite(pred2).all()
+
         csv_out = tmp_path / "uq.csv"
         rc = main(["metrics", "--pred", str(out),
                    "--true", str(tmp_path / "true_params.npy"),

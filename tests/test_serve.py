@@ -87,6 +87,18 @@ def test_posterior_service_http(trained_ckpt):
         assert np.asarray(out["mean"]).shape == (2, 29)
         assert out["n_realizations"] == 4
 
+        # dpmpp sampler through the request surface
+        body = json.dumps({"conditions": ert[:2].tolist(),
+                           "n_realizations": 4, "seed": 2,
+                           "sampler": "dpmpp", "dpmpp_steps": 4,
+                           "temperature": 1.3})
+        conn.request("POST", "/posterior", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200, r.read()
+        out = json.loads(r.read())
+        assert np.asarray(out["mean"]).shape == (2, 29)
+
         # malformed request -> 400, server stays alive
         conn.request("POST", "/posterior", body=json.dumps({"nope": 1}),
                      headers={"Content-Type": "application/json"})
