@@ -349,9 +349,17 @@ def _measure_uq_testset(model_name: str, n_test: int = 508,
     conds = rng.uniform(size=(n_test, REF_LEN, REF_CH)).astype(np.float32)
     scaler = MinMaxScaler.fit(
         rng.uniform(size=(64, PARAM_DIM)).astype(np.float32))
-    scfg = SampleConfig(uncertainty_samples=n_real)
+    anc = SampleConfig(uncertainty_samples=n_real)
+    # tempered fast paths, measured UQ-equivalent to tempered ancestral on
+    # the flagship (docs/results/flagship_fullscale/ddim_uq_s42.json)
+    ddim = SampleConfig(uncertainty_samples=n_real, sampler="ddim",
+                        ddim_steps=50, ddim_eta=1.0, temperature=1.5)
+    dpmpp = SampleConfig(uncertainty_samples=n_real, sampler="dpmpp",
+                         dpmpp_steps=15, temperature=1.5)
     out = {"uq_testset_shape": f"{n_test}x{n_real}xT{T}"}
-    for label, bsz in (("", batch), ("_1dispatch", n_test)):
+    for label, bsz, scfg in (("", batch, anc), ("_1dispatch", n_test, anc),
+                             ("_ddim50", batch, ddim),
+                             ("_dpmpp15", batch, dpmpp)):
         # warm (compiles each distinct batch shape once)
         posterior_over_dataset(model, state.params, conds[:bsz], sch,
                                jax.random.key(0), scaler,

@@ -8,8 +8,9 @@ modulations (6 vectors/block), per-condition cross K/V (one small matmul
 per block — cond_tokens are constant across the scan, so XLA hoists or
 re-does ~0.15 GFLOP/step, either is noise), and the final norm + head.
 
-SHARED-T CONTRACT: both samplers call denoise_fn with one t broadcast
-over every chain (ertdx/diffusion.py:96-99,148-151), so the AdaLN
+SHARED-T CONTRACT: all samplers (ancestral, DDIM, DPM-Solver++) call
+denoise_fn with one t broadcast over every chain (the `t_batch =
+jnp.full((B,), t_)` lines in ertdx/diffusion.py), so the AdaLN
 modulations collapse to per-condition vectors; this module reads t[0]
 and must only be wired through ertdx.sample._ensemble_fn, which owns
 that invariant. Parity vs model.apply(method=denoise_ensemble) is pinned
