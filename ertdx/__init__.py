@@ -24,4 +24,4 @@ Layers:
 
 __version__ = "0.1.0"
 
-from . import configs, diffusion, params, transforms  # noqa: F401
+from . import calibrate, configs, diffusion, params, transforms  # noqa: F401

@@ -226,6 +226,48 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_calibrate(args) -> int:
+    """Pick the sampler temperature on the VALIDATION split (never test)."""
+    import jax
+    from . import data as data_lib
+    from .calibrate import calibrate_temperature
+    from .diffusion import get_diffusion_schedule
+    from .models import build_model
+    from .train import load_best_model
+    from .transforms import inverse_transform
+    cfg = _load_cfg(args)
+    sim_param = np.load(args.params)
+    ert = np.load(args.ert)
+    state, _, scalers = load_best_model(args.checkpoint_dir, cfg, None)
+    ds = data_lib.prepare_dataset(sim_param, ert,
+                                  param_scaler=scalers.get("param_scaler"),
+                                  ert_scaler=scalers.get("ert_scaler"))
+    _, val_idx, _ = data_lib.split_dataset(len(ds), cfg.train.seed,
+                                           cfg.train.split)
+    model = build_model(cfg.model)
+    sch = get_diffusion_schedule(cfg.diffusion.T, cfg.diffusion.beta_start,
+                                 cfg.diffusion.beta_end)
+    true_phys = ds.param_scaler.inverse(
+        inverse_transform(ds.params_u[val_idx].astype(np.float64)))
+    scfg = cfg.sample
+    if args.sampler:
+        scfg = dataclasses.replace(scfg, sampler=args.sampler)
+    best, records = calibrate_temperature(
+        model, state.params, ds.conditions[val_idx], true_phys, sch,
+        jax.random.key(args.seed or cfg.train.seed), ds.param_scaler,
+        temperatures=[float(t) for t in args.temps.split(",") if t],
+        objective=args.objective, n_realizations=args.realizations,
+        batch_size=cfg.train.batch_size, scfg=scfg)
+    print(json.dumps({"best_temperature": best, "objective": args.objective,
+                      "records": records}, indent=2))
+    if args.out:
+        Path(args.out).write_text(json.dumps(
+            {"best_temperature": best, "objective": args.objective,
+             "records": records}))
+        print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_metrics(args) -> int:
     from .metrics import per_parameter_uq, uq_scores
     from .utils.logging import write_csv
@@ -409,6 +451,23 @@ def build_parser() -> argparse.ArgumentParser:
                          "eta>0; prior for dpmpp)")
     sa.add_argument("--out", default="Uncertainty_params.npy")
     sa.set_defaults(fn=cmd_sample)
+
+    ca = sub.add_parser("calibrate",
+                        help="pick sampler temperature on the val split")
+    ca.add_argument("--params", required=True)
+    ca.add_argument("--ert", required=True)
+    ca.add_argument("--checkpoint-dir", required=True)
+    ca.add_argument("--preset", default="ref_default")
+    ca.add_argument("--model", choices=["refmlp", "condunet"], default=None)
+    ca.add_argument("--temps", default="1.0,1.25,1.5,2.0,3.0")
+    ca.add_argument("--objective", default="goodness",
+                    choices=["goodness", "accuracy", "precision"])
+    ca.add_argument("--sampler", choices=["ancestral", "ddim", "dpmpp"],
+                    default=None)
+    ca.add_argument("--realizations", type=int, default=50)
+    ca.add_argument("--seed", type=int, default=None)
+    ca.add_argument("--out", default=None)
+    ca.set_defaults(fn=cmd_calibrate)
 
     m = sub.add_parser("metrics", help="UQ accuracy/precision/goodness")
     m.add_argument("--pred", required=True)

@@ -1,0 +1,63 @@
+import dataclasses
+
+import jax
+import numpy as np
+
+from ertdx import configs, data as data_lib
+from ertdx.calibrate import calibrate_temperature
+from ertdx.diffusion import get_diffusion_schedule
+from ertdx.models import build_model
+from ertdx.train import train
+from ertdx.transforms import inverse_transform
+
+
+def _cfg():
+    return configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=10),
+        model=dataclasses.replace(configs.ModelConfig(), cond_length=96,
+                                  cond_channels=4),
+        train=dataclasses.replace(configs.TrainConfig(), num_epochs=3,
+                                  batch_size=16, log_every=100,
+                                  checkpoint_dir=""),
+    )
+
+
+def test_calibrate_temperature_picks_argmax(tiny_dataset):
+    cfg = _cfg()
+    res = train(cfg, tiny_dataset)
+    model = build_model(cfg.model)
+    sch = get_diffusion_schedule(cfg.diffusion.T)
+    _, val_idx, _ = data_lib.split_dataset(len(tiny_dataset), cfg.train.seed,
+                                           cfg.train.split)
+    conds = np.asarray(tiny_dataset.conditions[val_idx])
+    true_phys = np.asarray(tiny_dataset.param_scaler.inverse(
+        inverse_transform(np.asarray(tiny_dataset.params_u[val_idx]))))
+
+    grid = (0.5, 1.0, 2.0)
+    scfg = configs.SampleConfig(uncertainty_samples=6, sampler="dpmpp",
+                                dpmpp_steps=4)
+    best, records = calibrate_temperature(
+        model, res.state.params, conds, true_phys, sch, jax.random.key(0),
+        tiny_dataset.param_scaler, temperatures=grid, n_realizations=6,
+        batch_size=len(conds), scfg=scfg)
+
+    assert set(records) == {str(float(t)) for t in grid}
+    assert best in [float(t) for t in grid]
+    for rec in records.values():
+        for k in ("accuracy", "precision", "goodness", "valid_fraction",
+                  "ensemble_sd_mean"):
+            assert np.isfinite(rec[k])
+    # best is the grid argmax of the objective, ties toward lower temp
+    goodness = [records[str(float(t))]["goodness"] for t in grid]
+    assert best == float(grid[int(np.argmax(goodness))])
+    # larger temperature must widen the ensemble (prior tempering on dpmpp)
+    sds = [records[str(float(t))]["ensemble_sd_mean"] for t in grid]
+    assert sds[0] < sds[-1]
+
+
+def test_calibrate_rejects_unknown_objective(tiny_dataset):
+    import pytest
+
+    with pytest.raises(ValueError):
+        calibrate_temperature(None, None, None, None, None, None, None,
+                              objective="sharpness")

@@ -84,6 +84,18 @@ def test_train_then_sample_then_metrics(tmp_path):
         assert pred2.shape == pred.shape
         assert np.isfinite(pred2).all()
 
+        # temperature calibration on the val split
+        cal_out = tmp_path / "calibration.json"
+        rc = main(["calibrate", "--params", str(p_path), "--ert",
+                   str(e_path), "--checkpoint-dir", str(ck),
+                   "--preset", "tiny_test", "--temps", "1.0,2.0",
+                   "--sampler", "dpmpp", "--realizations", "3",
+                   "--out", str(cal_out)])
+        assert rc == 0
+        cal = json.loads(cal_out.read_text())
+        assert cal["best_temperature"] in (1.0, 2.0)
+        assert set(cal["records"]) == {"1.0", "2.0"}
+
         csv_out = tmp_path / "uq.csv"
         rc = main(["metrics", "--pred", str(out),
                    "--true", str(tmp_path / "true_params.npy"),
