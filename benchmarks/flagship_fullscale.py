@@ -51,7 +51,8 @@ UQ_BATCH = 100        # 100 x 50 = 5,000 chains/batch: fused-core engages
 
 
 def run(model_name: str, seed: int, epochs: int = EPOCHS,
-        dtype: str = "float32") -> dict:
+        dtype: str = "float32", lr_schedule: str = "constant",
+        warmup_steps: int = 0) -> dict:
     import jax
 
     from ertdx import configs, data as data_lib
@@ -63,6 +64,8 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
     from ertdx.train import load_best_model, train
 
     tag = model_name if dtype == "float32" else f"{model_name}-bf16"
+    if lr_schedule != "constant":
+        tag = f"{tag}-{lr_schedule}"
     rdir = OUT / f"{tag}_s{seed}"
     rdir.mkdir(parents=True, exist_ok=True)
     ds, forward = make_dataset(return_forward=True)
@@ -76,6 +79,7 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
             configs.TrainConfig(), num_epochs=epochs, batch_size=BATCH,
             lr=LR, seed=seed, checkpoint_dir=str(rdir / "ckpt"),
             log_every=100, deterministic_val=False,
+            lr_schedule=lr_schedule, warmup_steps=warmup_steps,
             epochs_per_dispatch=10))
 
     t0 = time.perf_counter()
@@ -234,12 +238,16 @@ def main():
     ap.add_argument("--epochs", type=int, default=EPOCHS)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"])
+    ap.add_argument("--warmup-steps", type=int, default=0)
     args = ap.parse_args()
     OUT.mkdir(parents=True, exist_ok=True)
     if args.leg == "report":
         report()
         return
-    run(args.model, args.seed, args.epochs, args.dtype)
+    run(args.model, args.seed, args.epochs, args.dtype,
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,10 @@ def _load_cfg(args) -> "configs.ExperimentConfig":
         overrides["step_checkpoint_every"] = args.save_every
     if getattr(args, "ema_decay", None) is not None:
         overrides["ema_decay"] = args.ema_decay
+    if getattr(args, "lr_schedule", None):
+        overrides["lr_schedule"] = args.lr_schedule
+    if getattr(args, "warmup_steps", None) is not None:
+        overrides["warmup_steps"] = args.warmup_steps
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))
@@ -408,6 +412,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--model", choices=["refmlp", "condunet"], default=None)
     t.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
                    help="condunet compute dtype (params stay float32)")
+    t.add_argument("--lr-schedule", choices=["constant", "cosine"],
+                   default=None,
+                   help="constant = reference semantics; cosine = "
+                        "warmup + cosine decay over the step budget")
+    t.add_argument("--warmup-steps", type=int, default=None)
     t.add_argument("--epochs", type=int, default=None)
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--seed", type=int, default=None)

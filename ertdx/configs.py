@@ -98,6 +98,15 @@ class TrainConfig:
     # on the train-step glue (benchmarks/train_mfu.py). Changes the
     # opt_state checkpoint layout; resume must use the same setting.
     flat_optimizer: bool = False
+    # learning-rate schedule: "constant" is the reference semantics
+    # (fixed Adam lr, ERT_Conditional_Diffusion.py:296); "cosine" ramps
+    # linearly over warmup_steps then cosine-decays to
+    # lr * lr_end_fraction across the full step budget. Any schedule
+    # (or warmup_steps > 0) adds a step-count slot to the optimizer
+    # state; resume must use the same settings.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    lr_end_fraction: float = 0.0
     log_every: int = 1
 
 

@@ -58,10 +58,11 @@ def _ema_update(state: "TrainState", decay: float) -> "TrainState":
     return state.replace(ema_params=new_ema)
 
 
-def create_train_state(model: nn.Module, key: jax.Array, lr: float,
+def create_train_state(model: nn.Module, key: jax.Array, lr,
                        batch_size: int, cond_shape: Tuple[int, int],
                        param_dim: int, ema: bool = False,
                        flat_optimizer: bool = False) -> TrainState:
+    # lr: float (constant) or an optax schedule (see make_lr)
     x = jnp.zeros((batch_size, param_dim), jnp.float32)
     t = jnp.zeros((batch_size,), jnp.int32)
     cond = jnp.zeros((batch_size,) + tuple(cond_shape), jnp.float32)
@@ -76,6 +77,31 @@ def create_train_state(model: nn.Module, key: jax.Array, lr: float,
     return TrainState.create(apply_fn=model.apply,
                              params=variables["params"], tx=tx,
                              ema_params=ema_params)
+
+
+def make_lr(tcfg, total_steps: int):
+    """Learning rate for create_train_state: a plain float for the
+    reference's constant-lr semantics (keeps the optimizer-state layout
+    unchanged), or an optax schedule when warmup/cosine is requested.
+
+    total_steps: the full optimizer-step budget (steps/epoch * epochs) —
+    the cosine decay horizon.
+    """
+    if tcfg.lr_schedule not in ("constant", "cosine"):
+        raise ValueError(f"unknown lr_schedule {tcfg.lr_schedule!r}")
+    if tcfg.lr_schedule == "constant":
+        if tcfg.warmup_steps <= 0:
+            return tcfg.lr
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, tcfg.lr, tcfg.warmup_steps),
+             optax.constant_schedule(tcfg.lr)], [tcfg.warmup_steps])
+    warmup = max(tcfg.warmup_steps, 0)
+    # decay_steps is the TOTAL horizon including warmup (optax), so it
+    # must exceed warmup even for structure-only templates (total=1)
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=tcfg.lr, warmup_steps=warmup,
+        decay_steps=max(total_steps, warmup + 1),
+        end_value=tcfg.lr * tcfg.lr_end_fraction)
 
 
 def weighted_eps_mse(eps_hat: jax.Array, eps: jax.Array,
@@ -404,7 +430,9 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
     root_key = jax.random.key(tcfg.seed)
     init_key, train_key, val_key = jax.random.split(root_key, 3)
 
-    state = create_train_state(model, init_key, tcfg.lr, tcfg.batch_size,
+    steps_per_epoch = -(-len(train_idx) // tcfg.batch_size)
+    lr = make_lr(tcfg, steps_per_epoch * tcfg.num_epochs)
+    state = create_train_state(model, init_key, lr, tcfg.batch_size,
                                dataset.cond_shape, dataset.param_dim,
                                ema=tcfg.ema_decay > 0.0,
                                flat_optimizer=getattr(
@@ -639,7 +667,11 @@ def load_best_model(checkpoint_dir: str, cfg: ExperimentConfig,
         param_dim = dataset_or_shapes.param_dim
     else:
         cond_shape, param_dim = dataset_or_shapes
-    state = create_train_state(model, jax.random.key(0), cfg.train.lr,
+    # make_lr keeps the template's opt_state LAYOUT in sync with how the
+    # checkpoint was trained (a schedule adds a step-count slot); the
+    # decay horizon itself doesn't affect structure, so 1 is fine here
+    state = create_train_state(model, jax.random.key(0),
+                               make_lr(cfg.train, 1),
                                cfg.train.batch_size, cond_shape, param_dim,
                                ema=cfg.train.ema_decay > 0.0,
                                flat_optimizer=getattr(

@@ -228,3 +228,45 @@ def test_flat_optimizer_identical_training(tmp_path, tiny_dataset):
                                rtol=1e-6)
     np.testing.assert_allclose(a.val_history, b.val_history, rtol=1e-6)
     assert a.best_epoch == b.best_epoch
+
+
+def test_lr_schedule_semantics_and_restore(tmp_path, tiny_dataset):
+    """Cosine schedule: training runs, the optimizer state carries a step
+    count, the schedule values match optax's closed form, and
+    load_best_model rebuilds the matching opt_state layout."""
+    import optax
+
+    from ertdx.train import load_best_model, make_lr
+
+    tcfg = dataclasses.replace(
+        configs.TrainConfig(), num_epochs=4, batch_size=16, log_every=100,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lr_schedule="cosine", warmup_steps=3, lr_end_fraction=0.1)
+    cfg = configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=10),
+        model=dataclasses.replace(configs.ModelConfig(), cond_length=96,
+                                  cond_channels=4),
+        train=tcfg)
+
+    # schedule values: linear warmup to lr, cosine to lr*end_fraction
+    sched = make_lr(tcfg, 100)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(3)), tcfg.lr, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), tcfg.lr * 0.1, rtol=1e-5)
+    # constant config returns the plain float (reference layout)
+    assert make_lr(configs.TrainConfig(), 100) == configs.TrainConfig().lr
+    with pytest.raises(ValueError):
+        make_lr(dataclasses.replace(tcfg, lr_schedule="step"), 100)
+
+    res = train(cfg, tiny_dataset)
+    assert np.isfinite(res.train_history).all()
+    counts = [int(x) for x in jax.tree_util.tree_leaves(res.state.opt_state)
+              if getattr(x, "ndim", None) == 0 and x.dtype == np.int32]
+    steps = -(-len(tiny_dataset) * 8 // 10 // 16) * 4
+    assert steps in counts  # ScaleByScheduleState.count advanced per step
+
+    state2, meta, _ = load_best_model(str(tmp_path / "ckpt"), cfg,
+                                      tiny_dataset)
+    chex_equal = jax.tree_util.tree_structure(res.state.opt_state) == \
+        jax.tree_util.tree_structure(state2.opt_state)
+    assert chex_equal
