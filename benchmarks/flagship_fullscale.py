@@ -52,7 +52,7 @@ UQ_BATCH = 100        # 100 x 50 = 5,000 chains/batch: fused-core engages
 
 def run(model_name: str, seed: int, epochs: int = EPOCHS,
         dtype: str = "float32", lr_schedule: str = "constant",
-        warmup_steps: int = 0) -> dict:
+        warmup_steps: int = 0, uncond_prob: float = 0.0) -> dict:
     import jax
 
     from ertdx import configs, data as data_lib
@@ -66,6 +66,8 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
     tag = model_name if dtype == "float32" else f"{model_name}-bf16"
     if lr_schedule != "constant":
         tag = f"{tag}-{lr_schedule}"
+    if uncond_prob > 0.0:
+        tag = f"{tag}-cfg"
     rdir = OUT / f"{tag}_s{seed}"
     rdir.mkdir(parents=True, exist_ok=True)
     ds, forward = make_dataset(return_forward=True)
@@ -74,7 +76,7 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
         diffusion=configs.DiffusionConfig(T=T),
         model=dataclasses.replace(configs.ModelConfig(), name=model_name,
                                   cond_length=L, cond_channels=C,
-                                  dtype=dtype),
+                                  dtype=dtype, uncond_prob=uncond_prob),
         train=dataclasses.replace(
             configs.TrainConfig(), num_epochs=epochs, batch_size=BATCH,
             lr=LR, seed=seed, checkpoint_dir=str(rdir / "ckpt"),
@@ -241,13 +243,16 @@ def main():
     ap.add_argument("--lr-schedule", default="constant",
                     choices=["constant", "cosine"])
     ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--uncond-prob", type=float, default=0.0,
+                    help="classifier-free-guidance condition dropout")
     args = ap.parse_args()
     OUT.mkdir(parents=True, exist_ok=True)
     if args.leg == "report":
         report()
         return
     run(args.model, args.seed, args.epochs, args.dtype,
-        lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps)
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+        uncond_prob=args.uncond_prob)
 
 
 if __name__ == "__main__":

@@ -58,17 +58,29 @@ def main() -> int:
     ap.add_argument("--dpmpp-steps", dest="dpmpp_steps", default="",
                     help="comma list of DPM-Solver++(2M) step budgets to "
                          "add as arms (prior tempering via --temps)")
+    ap.add_argument("--tag", default=None,
+                    help="checkpoint dir tag (default: --model); e.g. "
+                         "condunet-cfg for the CFG-trained flagship")
+    ap.add_argument("--uncond-prob", type=float, default=0.0,
+                    help="must match the checkpoint's training value "
+                         "(adds the null-context params to the template)")
+    ap.add_argument("--guidance-scales", default="",
+                    help="comma list of CFG scales; each adds a "
+                         "dpmpp-15 arm per temperature")
     args = ap.parse_args()
     temps = [float(t) for t in args.temps.split(",") if t]
     etas = [float(e) for e in args.etas.split(",") if e]
     dpmpp_steps = [int(s) for s in args.dpmpp_steps.split(",") if s]
+    guidance = [float(g) for g in args.guidance_scales.split(",") if g]
+    tag = args.tag or args.model
 
-    rdir = OUT / f"{args.model}_s{args.seed}"
+    rdir = OUT / f"{tag}_s{args.seed}"
     ds = make_dataset()
     cfg = configs.ExperimentConfig(
         diffusion=configs.DiffusionConfig(T=T),
         model=dataclasses.replace(configs.ModelConfig(), name=args.model,
-                                  cond_length=L, cond_channels=C),
+                                  cond_length=L, cond_channels=C,
+                                  uncond_prob=args.uncond_prob),
         train=dataclasses.replace(configs.TrainConfig(), seed=args.seed,
                                   batch_size=BATCH, lr=LR))
     state, _, _ = load_best_model(str(rdir / "ckpt"), cfg, ds)
@@ -96,10 +108,16 @@ def main() -> int:
         print(json.dumps({label: rec}), flush=True)
         return rec
 
-    out = {"model": args.model, "seed": args.seed, "n_real": N_REAL,
+    out = {"model": tag, "seed": args.seed, "n_real": N_REAL,
            "n_test": int(len(test_idx)), "ddim_steps": args.ddim_steps,
            "arms": {}}
     for temp in temps:
+        for g in guidance:
+            scfg = configs.SampleConfig(
+                uncertainty_samples=N_REAL, temperature=temp,
+                sampler="dpmpp", dpmpp_steps=15, guidance_scale=g)
+            out["arms"][f"dpmpp15_T{temp}_g{g}"] = run_arm(
+                scfg, f"dpmpp15_T{temp}_g{g}")
         for eta in etas:
             scfg = configs.SampleConfig(
                 uncertainty_samples=N_REAL, temperature=temp,
@@ -119,7 +137,8 @@ def main() -> int:
                 scfg, f"ancestral_T{temp}")
 
     # merge into any prior record so separate arm sweeps accumulate
-    path = OUT / f"ddim_uq_s{args.seed}.json"
+    path = OUT / (f"ddim_uq_s{args.seed}.json" if tag == args.model
+                  else f"ddim_uq_{tag}_s{args.seed}.json")
     if path.exists():
         prior = json.loads(path.read_text())
         prior.get("arms", {}).update(out["arms"])

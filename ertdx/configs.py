@@ -65,6 +65,10 @@ class ModelConfig:
                                           # 3x MXU cost)
     dtype: str = "float32"         # condunet compute dtype ("bfloat16"
                                    # for MXU-native training; params f32)
+    uncond_prob: float = 0.0       # classifier-free guidance: train-time
+                                   # condition-dropout probability (adds
+                                   # learned null-context params; enables
+                                   # SampleConfig.guidance_scale != 1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,6 +125,10 @@ class SampleConfig:
     ddim_steps: int = 50
     ddim_eta: float = 0.0
     dpmpp_steps: int = 15
+    # classifier-free guidance scale: eps = eps_u + g*(eps_c - eps_u).
+    # 1.0 = pure conditional (no extra cost); != 1 doubles denoiser calls
+    # and requires a model trained with ModelConfig.uncond_prob > 0.
+    guidance_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,7 +16,8 @@ from .uncond import UncondMLP
 def build_model(cfg: ModelConfig):
     if cfg.name == "refmlp":
         return RefCondMLP(param_dim=cfg.param_dim, hidden_dim=cfg.hidden_dim,
-                          cond_channels=cfg.cond_channels)
+                          cond_channels=cfg.cond_channels,
+                          uncond_prob=cfg.uncond_prob)
     if cfg.name == "uncondmlp":
         return UncondMLP(param_dim=cfg.param_dim,
                          hidden_dim=cfg.hidden_dim)
@@ -35,7 +36,8 @@ def build_model(cfg: ModelConfig):
                         ensemble_min_chains=cfg.ensemble_min_chains,
                         ensemble_mega=cfg.ensemble_mega,
                         ensemble_mega_accurate=cfg.ensemble_mega_accurate,
-                        dtype=jnp.dtype(cfg.dtype))
+                        dtype=jnp.dtype(cfg.dtype),
+                        uncond_prob=cfg.uncond_prob)
     raise ValueError(f"unknown model {cfg.name!r}")
 
 

@@ -356,6 +356,11 @@ class CondUNet(nn.Module):
                                           # (3x MXU; ops/core_block._dot)
     dtype: Any = jnp.float32     # compute dtype (params stay f32);
                                  # jnp.bfloat16 for MXU-native training
+    uncond_prob: float = 0.0     # classifier-free guidance: train-time
+                                 # condition-dropout probability; > 0
+                                 # adds learned null-context params and
+                                 # enables guided sampling
+                                 # (SampleConfig.guidance_scale)
 
     def setup(self):
         self.encoder = ConditionEncoder(
@@ -378,9 +383,35 @@ class CondUNet(nn.Module):
                        for _ in range(self.num_blocks)]
         self.out_norm = nn.LayerNorm()  # final norm + head stay f32
         self.head = nn.Dense(1, kernel_init=nn.initializers.zeros)
+        if self.uncond_prob > 0.0:
+            # ONE learned null token broadcast over the cond-token length:
+            # cross-attention over identical K/V rows equals attending a
+            # single null token, and the broadcast keeps per-example
+            # mixing shape-uniform (static shapes under jit)
+            self.null_token = self.param(
+                "null_token", nn.initializers.normal(0.02),
+                (self.hidden_dim,))
+            self.null_vec = self.param(
+                "null_vec", nn.initializers.zeros, (self.hidden_dim,))
 
     def encode_condition(self, condition) -> Tuple[jax.Array, jax.Array]:
         return self.encoder(condition)
+
+    def drop_condition(self, cond_ctx, drop: jax.Array):
+        """Replace dropped examples' context with the learned null context.
+
+        drop: (B,) bool. Used for classifier-free-guidance training
+        (per-example condition dropout) and guided sampling (all-ones ->
+        the unconditional branch). Requires uncond_prob > 0 at
+        construction (the null params exist only then)."""
+        tokens, vec = cond_ctx
+        nt = jnp.broadcast_to(
+            self.null_token.astype(tokens.dtype)[None, None, :],
+            tokens.shape)
+        nv = jnp.broadcast_to(
+            self.null_vec.astype(vec.dtype)[None, :], vec.shape)
+        return (jnp.where(drop[:, None, None], nt, tokens),
+                jnp.where(drop[:, None], nv, vec))
 
     def embed_time(self, t: jax.Array) -> jax.Array:
         emb = get_timestep_embedding(t, self.hidden_dim)

@@ -31,6 +31,8 @@ class RefCondMLP(nn.Module):
     hidden_dim: int = 128
     cond_channels: int = 14
     dtype: jnp.dtype = jnp.float32
+    uncond_prob: float = 0.0     # CFG condition-dropout (see CondUNet);
+                                 # 0 keeps the exact reference param tree
 
     def setup(self):
         self.conv1 = TorchConv1d(32, kernel_size=3, stride=2, padding=1,
@@ -41,6 +43,16 @@ class RefCondMLP(nn.Module):
         self.time_proj = TorchDense(self.hidden_dim, dtype=self.dtype)
         self.head1 = TorchDense(self.hidden_dim, dtype=self.dtype)
         self.head2 = TorchDense(self.param_dim, dtype=self.dtype)
+        if self.uncond_prob > 0.0:
+            self.null_vec = self.param(
+                "null_vec", nn.initializers.zeros, (self.hidden_dim,))
+
+    def drop_condition(self, cond_emb: jax.Array, drop: jax.Array):
+        """CFG: replace dropped examples' (B, H) context with the learned
+        null vector. Requires uncond_prob > 0 at construction."""
+        nv = jnp.broadcast_to(
+            self.null_vec.astype(cond_emb.dtype)[None, :], cond_emb.shape)
+        return jnp.where(drop[:, None], nv, cond_emb)
 
     def encode_condition(self, condition: jax.Array) -> jax.Array:
         """condition: (B, L, C) feature-last (C=14 surveys) -> (B, H)."""

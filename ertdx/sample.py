@@ -60,8 +60,11 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
     # jitted program as a traced scalar argument (pure data), so a
     # temperature sweep reuses one compilation instead of recompiling
     # the whole reverse scan per value
+    # guidance_scale enters as a TRACED scalar; only the guided/unguided
+    # program structure is part of the key
     key_ = (_cache_token(model), n_realizations, P, scfg.sampler,
             scfg.ddim_steps, scfg.ddim_eta, scfg.dpmpp_steps,
+            scfg.guidance_scale != 1.0,
             truncate_steps, T, tuple(cond_shape), batch,
             _cache_token(mesh))
     fn = _ENSEMBLE_CACHE.get(key_)
@@ -105,61 +108,80 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
                      cond_len=cond_shape[0]) \
         if ensemble_native else None
 
+    guided = float(getattr(scfg, "guidance_scale", 1.0)) != 1.0
+    if guided and getattr(model, "uncond_prob", 0.0) <= 0.0:
+        raise ValueError(
+            "guidance_scale != 1 requires a model trained with condition "
+            "dropout (ModelConfig.uncond_prob > 0, classifier-free "
+            "guidance)")
+    cond_major = mega is not None or ensemble_native
+
     @jax.jit
     def run(params, condition, key, schedule,
-            temperature=jnp.float32(1.0)):
+            temperature=jnp.float32(1.0), guidance=jnp.float32(1.0)):
         B = condition.shape[0]
         cond_ctx = model.apply({"params": params}, condition,
                                method=model.encode_condition)
-        if mega is not None:
-            if mesh is not None:
-                # conditions shard over 'data'; each device runs the
-                # fused-core kernel on its local block (no collectives)
-                def denoise_fn(x, t):
-                    return mega_denoise_ensemble_sharded(
-                        params, x, t, cond_ctx, n_realizations, mesh,
-                        **mega)
-            else:
-                def denoise_fn(x, t):
-                    return mega_denoise_ensemble(params, x, t, cond_ctx,
-                                                 n_realizations, **mega)
 
-            u = sampler(denoise_fn, key, (n_realizations * B, P),
-                        schedule, temperature)
-            return u.reshape(B, n_realizations, P).transpose(1, 0, 2)
-        if ensemble_native:
-            # condition-major layout (chain index = b*R + r): the model
-            # folds chains into the cross-attention query length, so the
-            # condition context is NEVER tiled across realizations —
-            # K/V stay at batch B (CondUNet.denoise_ensemble)
+        def mk(ctx):
+            """Denoise closure for one context, per model/mesh layout."""
+            if mega is not None:
+                if mesh is not None:
+                    # conditions shard over 'data'; each device runs the
+                    # fused-core kernel on its local block (no collectives)
+                    return lambda x, t: mega_denoise_ensemble_sharded(
+                        params, x, t, ctx, n_realizations, mesh, **mega)
+                return lambda x, t: mega_denoise_ensemble(
+                    params, x, t, ctx, n_realizations, **mega)
+            if ensemble_native:
+                # condition-major layout (chain index = b*R + r): the
+                # model folds chains into the cross-attention query
+                # length, so the condition context is NEVER tiled across
+                # realizations — K/V stay at batch B
+                # (CondUNet.denoise_ensemble)
+                def fn(x, t):
+                    if shard_chains is not None:
+                        x = jax.lax.with_sharding_constraint(
+                            x, shard_chains)
+                    return model.apply({"params": params}, x, t, ctx,
+                                       n_realizations,
+                                       method=model.denoise_ensemble)
+                return fn
+            # generic models: realization-major layout — index r*B + b —
+            # the whole context tiles into the batch axis
+            ctx_tiled = jax.tree_util.tree_map(
+                lambda a: jnp.tile(a,
+                                   (n_realizations,) + (1,) * (a.ndim - 1)),
+                ctx)
+            if shard_chains is not None:
+                # chains shard over the mesh 'data' axis (the condition
+                # batch alone may not divide the mesh; n_real*B does)
+                ctx_tiled = jax.lax.with_sharding_constraint(ctx_tiled,
+                                                             shard_chains)
+            return lambda x, t: model.apply({"params": params}, x, t,
+                                            ctx_tiled,
+                                            method=model.denoise)
+
+        if guided:
+            # classifier-free guidance: eps = eps_u + g (eps_c - eps_u);
+            # the null context reuses the SAME fused/sharded path as the
+            # conditional one (2x denoiser calls per step). g is traced —
+            # guidance sweeps reuse this one compilation.
+            null_ctx = model.apply({"params": params}, cond_ctx,
+                                   jnp.ones((B,), bool),
+                                   method=model.drop_condition)
+            fn_c, fn_u = mk(cond_ctx), mk(null_ctx)
+
             def denoise_fn(x, t):
-                if shard_chains is not None:
-                    x = jax.lax.with_sharding_constraint(x, shard_chains)
-                return model.apply({"params": params}, x, t, cond_ctx,
-                                   n_realizations,
-                                   method=model.denoise_ensemble)
-
-            u = sampler(denoise_fn, key, (n_realizations * B, P),
-                        schedule, temperature)
-            return u.reshape(B, n_realizations, P).transpose(1, 0, 2)
-
-        # generic models: realization-major layout — index r*B + b — the
-        # whole context tiles into the batch axis
-        ctx_tiled = jax.tree_util.tree_map(
-            lambda a: jnp.tile(a, (n_realizations,) + (1,) * (a.ndim - 1)),
-            cond_ctx)
-        if shard_chains is not None:
-            # chains shard over the mesh 'data' axis (the condition batch
-            # alone may not divide the mesh; n_real*B usually does)
-            ctx_tiled = jax.lax.with_sharding_constraint(ctx_tiled,
-                                                         shard_chains)
-
-        def denoise_fn(x, t):
-            return model.apply({"params": params}, x, t, ctx_tiled,
-                               method=model.denoise)
+                eps_u = fn_u(x, t)
+                return eps_u + guidance * (fn_c(x, t) - eps_u)
+        else:
+            denoise_fn = mk(cond_ctx)
 
         u = sampler(denoise_fn, key, (n_realizations * B, P),
                     schedule, temperature)
+        if cond_major:
+            return u.reshape(B, n_realizations, P).transpose(1, 0, 2)
         return u.reshape(n_realizations, B, P)
 
     if len(_ENSEMBLE_CACHE) >= _ENSEMBLE_CACHE_MAX:
@@ -191,7 +213,8 @@ def posterior_ensemble(model, params, condition: jax.Array,
                        schedule.num_steps, condition.shape[1:],
                        condition.shape[0], mesh)
     return run(params, condition, key, schedule,
-               jnp.float32(scfg.temperature))
+               jnp.float32(scfg.temperature),
+               jnp.float32(scfg.guidance_scale))
 
 
 def inverse_pipeline(u: jax.Array, param_scaler, a: float = 0.0,

@@ -114,12 +114,38 @@ def weighted_eps_mse(eps_hat: jax.Array, eps: jax.Array,
     return jnp.sum(per_ex * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _make_eps_fn(apply_fn: Callable, uncond_prob: float):
+    """Training eps-prediction; with uncond_prob > 0 applies per-example
+    condition dropout to the encoded context (classifier-free-guidance
+    training, Ho & Salimans 2022 — no reference analogue). The drop key
+    derives via fold_in so the default path's RNG stream is unchanged.
+    """
+    if uncond_prob <= 0.0:
+        def eps_fn(params, x_noisy, t, cond, key):
+            del key
+            return apply_fn({"params": params}, x_noisy, t, cond)
+    else:
+        def eps_fn(params, x_noisy, t, cond, key):
+            ctx = apply_fn({"params": params}, cond,
+                           method="encode_condition")
+            drop = jax.random.bernoulli(
+                jax.random.fold_in(key, 13), uncond_prob,
+                (x_noisy.shape[0],))
+            ctx = apply_fn({"params": params}, ctx, drop,
+                           method="drop_condition")
+            return apply_fn({"params": params}, x_noisy, t, ctx,
+                            method="denoise")
+    return eps_fn
+
+
 def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
-                    donate: bool = True, ema_decay: float = 0.0):
+                    donate: bool = True, ema_decay: float = 0.0,
+                    uncond_prob: float = 0.0):
     # schedule arrays are passed as jit ARGUMENTS, not closure constants —
     # never close over device data in jitted bodies (docs/DESIGN.md §5b),
     # and argument-passing keeps one program across schedule values
     T = schedule.num_steps
+    eps_fn = _make_eps_fn(apply_fn, uncond_prob)
 
     def _step(state: TrainState, x0: jax.Array, cond: jax.Array,
               w: jax.Array, key: jax.Array, alpha_bar: jax.Array):
@@ -130,7 +156,7 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
         x_noisy = q_sample(x0, t, noise, alpha_bar)
 
         def loss_fn(params):
-            eps_hat = apply_fn({"params": params}, x_noisy, t, cond)
+            eps_hat = eps_fn(params, x_noisy, t, cond, key)
             return weighted_eps_mse(eps_hat, noise, w)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -149,7 +175,7 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
 
 def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
                     donate: bool = True, ema_decay: float = 0.0,
-                    batch_shard=None):
+                    batch_shard=None, uncond_prob: float = 0.0):
     """Whole-epoch train step: one dispatch, lax.scan over batches.
 
     The per-step model is tiny (SURVEY.md §6), so per-dispatch latency
@@ -164,6 +190,7 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
     Returns (state, mean epoch loss).
     """
     T = schedule.num_steps
+    eps_fn = _make_eps_fn(apply_fn, uncond_prob)
 
     def _epoch(state: TrainState, x0_all, cond_all, batch_idx, key,
                alpha_bar):
@@ -190,7 +217,7 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
             x_noisy = q_sample(x0, t, noise, alpha_bar)
 
             def loss_fn(params):
-                eps_hat = apply_fn({"params": params}, x_noisy, t, cond)
+                eps_hat = eps_fn(params, x_noisy, t, cond, k)
                 return jnp.mean((eps_hat - noise) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -214,7 +241,8 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
 
 
 def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
-                   donate: bool = True, ema_decay: float = 0.0):
+                   donate: bool = True, ema_decay: float = 0.0,
+                   uncond_prob: float = 0.0):
     """Multi-epoch train+val in ONE dispatch: scan(epochs) of scan(batches).
 
     Removes per-dispatch host latency entirely for E epochs at a time
@@ -234,6 +262,7 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
     the returned snapshot as valid only when min(val_losses) improved on
     best_val_in."""
     T = schedule.num_steps
+    eps_fn = _make_eps_fn(apply_fn, uncond_prob)
 
     def _run(state, x0_tr, cond_tr, batch_idx, epoch_keys,
              x0_va, cond_va, val_idx, val_w, val_keys, best_val_in,
@@ -246,7 +275,7 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
             x_noisy = q_sample(x0, t, noise, alpha_bar)
 
             def loss_fn(params):
-                eps_hat = apply_fn({"params": params}, x_noisy, t, cond)
+                eps_hat = eps_fn(params, x_noisy, t, cond, k)
                 return jnp.mean((eps_hat - noise) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -460,7 +489,8 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                     mesh, PartitionSpec(None, "data"))
         epoch_step = make_epoch_step(model.apply, schedule,
                                      ema_decay=tcfg.ema_decay,
-                                     batch_shard=batch_shard)
+                                     batch_shard=batch_shard,
+                                     uncond_prob=cfg.model.uncond_prob)
         eval_epoch = make_eval_epoch(model.apply, schedule)
         put = (lambda a: jax.device_put(jnp.asarray(a), replicated(mesh))
                ) if mesh is not None else (
@@ -479,7 +509,8 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
         v_w_d = jax.device_put(jnp.asarray(v_w))
     else:
         train_step = make_train_step(model.apply, schedule,
-                                     ema_decay=tcfg.ema_decay)
+                                     ema_decay=tcfg.ema_decay,
+                                     uncond_prob=cfg.model.uncond_prob)
         eval_step = make_eval_step(model.apply, schedule)
 
     best_val = float("inf")
@@ -512,7 +543,8 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
     K = tcfg.epochs_per_dispatch
     if device_resident and K > 1:
         run_fn = make_train_run(model.apply, schedule,
-                                ema_decay=tcfg.ema_decay)
+                                ema_decay=tcfg.ema_decay,
+                                uncond_prob=cfg.model.uncond_prob)
         epoch = start_epoch
         while epoch < tcfg.num_epochs:
             k_now = min(K, tcfg.num_epochs - epoch)

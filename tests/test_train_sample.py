@@ -260,3 +260,65 @@ def test_bf16_compute_dtype_train_and_sample(tiny_dataset):
     draws = posterior_ensemble(model, res.state.params, cond, sch,
                                jax.random.key(0), 4, scfg)
     assert np.isfinite(np.asarray(draws)).all()
+
+
+def test_classifier_free_guidance(tiny_dataset, tmp_path):
+    """CFG: uncond_prob > 0 adds learned null-context params, training
+    runs on every path, guided sampling changes the output monotonically
+    with scale, and guidance on a non-CFG model raises."""
+    from ertdx.sample import posterior_ensemble
+
+    cfg = _cfg(tmp_path, num_epochs=3)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, name="condunet",
+                                       uncond_prob=0.2))
+    res = train(cfg, tiny_dataset)
+    assert np.isfinite(res.train_history).all()
+    assert "null_token" in res.state.params and "null_vec" in res.state.params
+
+    model = build_model(cfg.model)
+    sch = get_diffusion_schedule(cfg.diffusion.T)
+    conds = jnp.asarray(tiny_dataset.conditions[:3])
+
+    def draw(g):
+        scfg = configs.SampleConfig(uncertainty_samples=4, sampler="dpmpp",
+                                    dpmpp_steps=4, guidance_scale=g)
+        return np.asarray(posterior_ensemble(
+            model, res.state.params, conds, sch, jax.random.key(0),
+            n_realizations=4, scfg=scfg))
+
+    u1, u2, u4 = draw(1.0), draw(2.0), draw(4.0)
+    assert np.isfinite(u2).all() and np.isfinite(u4).all()
+    assert not np.allclose(u1, u2)
+    # guidance pushes further in the same direction as scale grows
+    assert np.abs(u4 - u1).mean() > np.abs(u2 - u1).mean()
+
+    # guided sweep reuses ONE compilation (scale is traced)
+    from ertdx import sample as sample_mod
+    n_cached = len(sample_mod._ENSEMBLE_CACHE)
+    draw(3.0)
+    assert len(sample_mod._ENSEMBLE_CACHE) == n_cached
+
+    # CFG on the reference-parity MLP also trains + guides
+    cfg_mlp = _cfg(tmp_path / "mlp", num_epochs=2)
+    cfg_mlp = dataclasses.replace(
+        cfg_mlp, model=dataclasses.replace(cfg_mlp.model,
+                                           uncond_prob=0.1))
+    res_mlp = train(cfg_mlp, tiny_dataset)
+    assert "null_vec" in res_mlp.state.params
+    mlp = build_model(cfg_mlp.model)
+    scfg = configs.SampleConfig(uncertainty_samples=3, sampler="dpmpp",
+                                dpmpp_steps=4, guidance_scale=1.5)
+    u = posterior_ensemble(mlp, res_mlp.state.params, conds, sch,
+                           jax.random.key(1), n_realizations=3, scfg=scfg)
+    assert np.isfinite(np.asarray(u)).all()
+
+    # a model without CFG training refuses guidance
+    cfg0 = _cfg(tmp_path / "plain", num_epochs=1)
+    res0 = train(cfg0, tiny_dataset)
+    m0 = build_model(cfg0.model)
+    with pytest.raises(ValueError, match="uncond_prob"):
+        posterior_ensemble(m0, res0.state.params, conds, sch,
+                           jax.random.key(2), n_realizations=2,
+                           scfg=configs.SampleConfig(
+                               uncertainty_samples=2, guidance_scale=2.0))
