@@ -45,6 +45,8 @@ def _load_cfg(args) -> "configs.ExperimentConfig":
         model_overrides["name"] = args.model
     if getattr(args, "dtype", None):
         model_overrides["dtype"] = args.dtype
+    if getattr(args, "uncond_prob", None) is not None:
+        model_overrides["uncond_prob"] = args.uncond_prob
     if getattr(args, "cond_length", None) is not None:
         model_overrides["cond_length"] = args.cond_length
     if getattr(args, "cond_channels", None) is not None:
@@ -211,6 +213,8 @@ def cmd_sample(args) -> int:
         overrides["dpmpp_steps"] = args.steps
     if args.eta is not None:
         overrides["ddim_eta"] = args.eta
+    if args.guidance is not None:
+        overrides["guidance_scale"] = args.guidance
     if overrides:
         scfg = dataclasses.replace(scfg, **overrides)
     pred, mask = posterior_over_dataset(
@@ -417,6 +421,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="constant = reference semantics; cosine = "
                         "warmup + cosine decay over the step budget")
     t.add_argument("--warmup-steps", type=int, default=None)
+    t.add_argument("--uncond-prob", type=float, default=None,
+                   help="classifier-free-guidance condition dropout "
+                        "(enables `sample --guidance`)")
     t.add_argument("--epochs", type=int, default=None)
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--seed", type=int, default=None)
@@ -458,6 +465,12 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--temperature", type=float, default=None,
                     help="noise tempering (per-step for ancestral/ddim "
                          "eta>0; prior for dpmpp)")
+    sa.add_argument("--guidance", type=float, default=None,
+                    help="classifier-free guidance scale (needs a model "
+                         "trained with --uncond-prob > 0)")
+    sa.add_argument("--uncond-prob", type=float, default=None,
+                    help="the checkpoint's training value (builds the "
+                         "matching restore template)")
     sa.add_argument("--out", default="Uncertainty_params.npy")
     sa.set_defaults(fn=cmd_sample)
 
@@ -474,6 +487,9 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--sampler", choices=["ancestral", "ddim", "dpmpp"],
                     default=None)
     ca.add_argument("--realizations", type=int, default=50)
+    ca.add_argument("--uncond-prob", type=float, default=None,
+                    help="the checkpoint's training value (restore "
+                         "template)")
     ca.add_argument("--seed", type=int, default=None)
     ca.add_argument("--out", default=None)
     ca.set_defaults(fn=cmd_calibrate)

@@ -176,6 +176,7 @@ class _Handler(BaseHTTPRequestHandler):
                     ddim_steps=int(req.get("ddim_steps", 50)),
                     ddim_eta=float(req.get("ddim_eta", 0.0)),
                     dpmpp_steps=int(req.get("dpmpp_steps", 15)),
+                    guidance_scale=float(req.get("guidance_scale", 1.0)),
                     temperature=float(req.get("temperature", 1.0)))
             out = self.service.posterior(
                 ert, n_realizations=int(req.get("n_realizations", 50)),
