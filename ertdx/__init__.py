@@ -24,4 +24,14 @@ Layers:
 
 __version__ = "0.1.0"
 
-from . import calibrate, configs, diffusion, params, transforms  # noqa: F401
+from . import configs, diffusion, params, transforms  # noqa: F401
+
+
+def __getattr__(name):
+    # ertdx.calibrate pulls in sample -> models.mega -> ops (the Pallas
+    # kernel modules); keep it lazy like cli.py's per-command imports so
+    # `import ertdx` stays light for non-sampling paths.
+    if name == "calibrate":
+        import importlib
+        return importlib.import_module(".calibrate", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -74,6 +74,17 @@ def calibrate_temperature(model, params, val_conditions: np.ndarray,
                "valid_fraction": float(mask.mean()),
                "ensemble_sd_mean": float(pred.std(axis=0).mean())}
         records[str(float(temp))] = rec
-        if rec[objective] > best_val:
-            best_temp, best_val = float(temp), rec[objective]
+        score = rec[objective]
+        # strict > keeps the earlier winner; the explicit tie branch
+        # prefers the LOWEST temperature regardless of grid order. NaN
+        # scores fail both comparisons and are skipped.
+        if score > best_val or (score == best_val
+                                and best_temp is not None
+                                and float(temp) < best_temp):
+            best_temp, best_val = float(temp), score
+    if best_temp is None:
+        raise ValueError(
+            f"calibration objective {objective!r} was NaN for every "
+            f"temperature in {list(temperatures)!r} — the posterior is "
+            "degenerate on this val split (check valid_fraction)")
     return best_temp, records

@@ -17,9 +17,20 @@ from pathlib import Path
 import numpy as np
 
 
-def _load_cfg(args) -> "configs.ExperimentConfig":
+def _load_cfg(args, adopt_checkpoint: bool = False
+              ) -> "configs.ExperimentConfig":
     from . import configs
     cfg = configs.PRESETS[args.preset]
+    if adopt_checkpoint and getattr(args, "checkpoint_dir", None):
+        # restore commands: the checkpoint's config echo (written by
+        # train._save) is the source of truth for what was trained —
+        # model arch, lr schedule, CFG dropout, dtype, T — so `ertdiff
+        # sample --checkpoint-dir ck` works without re-specifying them.
+        # Explicit flags below still win (applied after).
+        from .train import saved_config
+        saved = saved_config(args.checkpoint_dir)
+        if saved:
+            cfg = configs.experiment_from_dict(saved, base=cfg)
     overrides = {}
     if getattr(args, "epochs", None) is not None:
         overrides["num_epochs"] = args.epochs
@@ -158,7 +169,7 @@ def cmd_sample(args) -> int:
     from .sample import posterior_over_dataset
     from .train import load_best_model
     from .parallel.mesh import make_mesh
-    cfg = _load_cfg(args)
+    cfg = _load_cfg(args, adopt_checkpoint=True)
     if args.ema:
         # the restore template must carry an EMA slot to deserialize it
         cfg = dataclasses.replace(
@@ -243,7 +254,7 @@ def cmd_calibrate(args) -> int:
     from .models import build_model
     from .train import load_best_model
     from .transforms import inverse_transform
-    cfg = _load_cfg(args)
+    cfg = _load_cfg(args, adopt_checkpoint=True)
     sim_param = np.load(args.params)
     ert = np.load(args.ert)
     state, _, scalers = load_best_model(args.checkpoint_dir, cfg, None)
@@ -329,7 +340,7 @@ def cmd_plot(args) -> int:
 
 def cmd_serve(args) -> int:
     from .serve import PosteriorService, serve
-    cfg = _load_cfg(args)
+    cfg = _load_cfg(args, adopt_checkpoint=True)
     if getattr(args, "torch_checkpoint", None):
         if not (args.params and args.ert):
             raise SystemExit("--torch-checkpoint needs --params/--ert "

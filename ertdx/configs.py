@@ -151,6 +151,44 @@ def _replace(cfg, **kw):
     return dataclasses.replace(cfg, **kw)
 
 
+def _fields_from_dict(dc, d):
+    """Rebuild a frozen config dataclass from a (possibly partial) dict.
+
+    JSON round-trips tuples as lists, so coerce back where the field's
+    current value is a tuple (e.g. TrainConfig.split)."""
+    vals = {}
+    for f in dataclasses.fields(dc):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if isinstance(getattr(dc, f.name), tuple) and isinstance(v, list):
+            v = tuple(v)
+        vals[f.name] = v
+    return dataclasses.replace(dc, **vals) if vals else dc
+
+
+def experiment_from_dict(d: dict, base: "ExperimentConfig" = None
+                         ) -> "ExperimentConfig":
+    """ExperimentConfig from a (possibly partial) nested dict over `base`.
+
+    Inverse of dataclasses.asdict for the checkpoint config echo
+    (train._save writes it to meta.json; train.saved_config reads it):
+    restoring a checkpoint must rebuild the SAME param tree and optimizer
+    layout it was trained with (lr schedules add a step-count slot,
+    uncond_prob adds null-context params, flat_optimizer flattens the
+    moment tree) without the caller re-specifying those knobs."""
+    base = base or ExperimentConfig()
+    return dataclasses.replace(
+        base,
+        diffusion=_fields_from_dict(base.diffusion, d.get("diffusion", {})),
+        model=_fields_from_dict(base.model, d.get("model", {})),
+        train=_fields_from_dict(base.train, d.get("train", {})),
+        sample=_fields_from_dict(base.sample, d.get("sample", {})),
+        mesh=_fields_from_dict(base.mesh, d.get("mesh", {})),
+        name=d.get("name", base.name),
+    )
+
+
 # BASELINE.json configs[0]: reference default — small-grid conditional DDPM,
 # few epochs, fixed seed, CPU/single chip.
 REF_DEFAULT = ExperimentConfig(name="ref_default")

@@ -196,6 +196,11 @@ def lambda_timesteps(schedule: DiffusionSchedule,
     index at very coarse grids — sample_dpmpp_2m guards h=0 (the duplicate
     step is an exact identity).
     """
+    if num_steps > schedule.num_steps:
+        # mirror ddim_timesteps: an oversized budget would silently
+        # degrade into duplicate (identity, but full-cost) solver steps
+        raise ValueError(f"num_steps {num_steps} > schedule T "
+                         f"{schedule.num_steps}")
     ab = schedule.alpha_bar.astype(jnp.float32)
     lam = 0.5 * (jnp.log(ab) - jnp.log1p(-ab))     # decreasing in t
     T = schedule.num_steps

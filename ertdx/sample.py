@@ -74,18 +74,25 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
     if scfg.sampler not in ("ancestral", "ddim", "dpmpp"):
         raise ValueError(f"unknown sampler {scfg.sampler!r} "
                          "(expected 'ancestral', 'ddim' or 'dpmpp')")
+    # a step budget >= T means "use the full chain": clamp instead of
+    # letting the timestep-grid constructors raise — small-T presets with
+    # the default ddim_steps=50/dpmpp_steps=15 are otherwise unusable
     if scfg.sampler == "dpmpp":
+        n_solver = min(scfg.dpmpp_steps, T)
+
         def sampler(fn_, key, shape, schedule, temperature):
             # deterministic ODE: temperature tempers the PRIOR draw
             return sample_dpmpp_2m(fn_, key, shape, schedule=schedule,
-                                   num_steps=scfg.dpmpp_steps,
+                                   num_steps=n_solver,
                                    temperature=temperature)
     elif scfg.sampler == "ddim":
+        n_solver = min(scfg.ddim_steps, T)
+
         def sampler(fn_, key, shape, schedule, temperature):
             # temperature scales the injected noise only; a no-op at
             # eta=0 (deterministic DDIM), tempering at eta>0
             return sample_ddim(fn_, key, shape, schedule=schedule,
-                               num_steps=scfg.ddim_steps,
+                               num_steps=n_solver,
                                eta=scfg.ddim_eta,
                                temperature=temperature)
     else:

@@ -141,6 +141,26 @@ class PosteriorService:
         self.posterior(dummy, n_realizations=n_realizations, scfg=scfg)
 
 
+#: request keys that select a non-default sampler program; ANY of them
+#: present builds a SampleConfig (a request carrying only, say,
+#: guidance_scale or temperature must not be silently ignored)
+_SAMPLER_KEYS = ("sampler", "ddim_steps", "ddim_eta", "dpmpp_steps",
+                 "guidance_scale", "temperature")
+
+
+def scfg_from_request(req: dict) -> Optional[SampleConfig]:
+    """SampleConfig from a /posterior JSON body; None = service default."""
+    if not any(k in req for k in _SAMPLER_KEYS):
+        return None
+    return SampleConfig(
+        sampler=req.get("sampler", "ancestral"),
+        ddim_steps=int(req.get("ddim_steps", 50)),
+        ddim_eta=float(req.get("ddim_eta", 0.0)),
+        dpmpp_steps=int(req.get("dpmpp_steps", 15)),
+        guidance_scale=float(req.get("guidance_scale", 1.0)),
+        temperature=float(req.get("temperature", 1.0)))
+
+
 class _Handler(BaseHTTPRequestHandler):
     service: PosteriorService = None  # injected by make_server
 
@@ -169,15 +189,7 @@ class _Handler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n))
             ert = np.asarray(req["conditions"], np.float32)
-            scfg = None
-            if "sampler" in req or "ddim_steps" in req:
-                scfg = SampleConfig(
-                    sampler=req.get("sampler", "ancestral"),
-                    ddim_steps=int(req.get("ddim_steps", 50)),
-                    ddim_eta=float(req.get("ddim_eta", 0.0)),
-                    dpmpp_steps=int(req.get("dpmpp_steps", 15)),
-                    guidance_scale=float(req.get("guidance_scale", 1.0)),
-                    temperature=float(req.get("temperature", 1.0)))
+            scfg = scfg_from_request(req)
             out = self.service.posterior(
                 ert, n_realizations=int(req.get("n_realizations", 50)),
                 scfg=scfg, seed=int(req.get("seed", 0)),

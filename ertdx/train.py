@@ -19,6 +19,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
+import json
 import time
 from pathlib import Path
 from typing import Callable, Optional, Tuple
@@ -30,6 +31,7 @@ import optax
 from flax import linen as nn
 from flax.training import train_state
 
+from . import configs as configs_lib
 from . import data as data_lib
 from .configs import ExperimentConfig
 from .diffusion import DiffusionSchedule, get_diffusion_schedule, q_sample
@@ -684,12 +686,53 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                        sps)
 
 
+#: model fields that change the param-tree layout (and so the restore
+#: template): architecture shape knobs, the CFG null-context params, and
+#: the width-aware fused-conv dispatch (moves affected blocks' params).
+_MODEL_LAYOUT_FIELDS = (
+    "name", "param_dim", "hidden_dim", "cond_channels", "cond_length",
+    "base_width", "depth", "num_heads", "core_heads", "num_blocks",
+    "uncond_prob", "pallas_conv", "pallas_conv_min_width")
+#: train fields that change the optimizer-state layout: any schedule (or
+#: warmup) adds a step-count slot, flat_optimizer flattens the moment
+#: tree, ema_decay adds ema_params.
+_TRAIN_LAYOUT_FIELDS = ("lr_schedule", "warmup_steps", "flat_optimizer",
+                        "ema_decay")
+
+
+def saved_config(checkpoint_dir: str) -> Optional[dict]:
+    """The config echo _save writes into meta.json (best, else last).
+
+    None for pre-echo checkpoints (meta without a "config" key)."""
+    for name in ("best", "last"):
+        p = Path(checkpoint_dir) / name / "meta.json"
+        if p.exists():
+            d = json.loads(p.read_text()).get("config")
+            if d:
+                return d
+    return None
+
+
 def load_best_model(checkpoint_dir: str, cfg: ExperimentConfig,
                     dataset_or_shapes=None):
     """Restore the best checkpoint; returns (state, meta, scalers).
 
+    The checkpoint's own config echo (meta.json) wins over `cfg` for the
+    layout-relevant knobs, so a cosine-LR- or CFG-trained checkpoint
+    restores without the caller re-specifying lr_schedule/uncond_prob/...
+    (those change the param tree / opt_state structure and would
+    otherwise fail flax deserialization with a structure mismatch).
+
     Reference analogue: load_best_model (ERT_Conditional_Diffusion.py:369-377).
     """
+    saved = saved_config(checkpoint_dir)
+    if saved:
+        cfg = configs_lib.experiment_from_dict(
+            {"model": {k: v for k, v in saved.get("model", {}).items()
+                       if k in _MODEL_LAYOUT_FIELDS},
+             "train": {k: v for k, v in saved.get("train", {}).items()
+                       if k in _TRAIN_LAYOUT_FIELDS}},
+            base=cfg)
     model = build_model(cfg.model)
     if dataset_or_shapes is None:
         cond_shape = (cfg.model.cond_length, cfg.model.cond_channels)
@@ -723,7 +766,8 @@ def _save(checkpoint_dir, name, state, dataset, cfg, meta_extra):
 
     `state` is a TrainState or an already-extracted state dict (the K>1
     fast path's in-scan best snapshot)."""
-    meta = {"param_dim": dataset.param_dim, "model": cfg.model.name}
+    meta = {"param_dim": dataset.param_dim, "model": cfg.model.name,
+            "config": dataclasses.asdict(cfg)}
     meta.update(meta_extra)
     sd = state if isinstance(state, dict) else _state_dict(state)
     ckpt_lib.save_checkpoint(

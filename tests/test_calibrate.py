@@ -61,3 +61,33 @@ def test_calibrate_rejects_unknown_objective(tiny_dataset):
     with pytest.raises(ValueError):
         calibrate_temperature(None, None, None, None, None, None, None,
                               objective="sharpness")
+
+
+def test_calibrate_tiebreak_and_nan(monkeypatch):
+    """Ties break toward the LOWEST temperature regardless of grid order;
+    an all-NaN objective raises instead of returning None."""
+    import pytest
+
+    from ertdx import calibrate as cal
+
+    def fake_posterior(*a, **kw):
+        return np.zeros((2, 3, 29)), np.ones((2, 3), bool)
+
+    monkeypatch.setattr(cal, "posterior_over_dataset", fake_posterior)
+    monkeypatch.setattr(cal, "uq_scores",
+                        lambda pred, true: {"accuracy": 0.5,
+                                            "precision": 0.5,
+                                            "goodness": 0.5})
+    best, recs = cal.calibrate_temperature(
+        None, None, np.zeros((3, 4, 2)), np.zeros((3, 29)), None, None,
+        None, temperatures=(3.0, 1.5, 2.0), objective="goodness")
+    assert best == 1.5                      # all tied -> lowest temp wins
+
+    monkeypatch.setattr(cal, "uq_scores",
+                        lambda pred, true: {"accuracy": float("nan"),
+                                            "precision": float("nan"),
+                                            "goodness": float("nan")})
+    with pytest.raises(ValueError, match="NaN"):
+        cal.calibrate_temperature(
+            None, None, np.zeros((3, 4, 2)), np.zeros((3, 29)), None,
+            None, None, temperatures=(1.0, 2.0), objective="goodness")

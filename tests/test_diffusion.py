@@ -2,8 +2,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ertdx.diffusion import (ddim_timesteps, get_diffusion_schedule, q_sample,
-                             sample_ancestral, sample_ddim, sample_dpmpp_2m)
+import pytest
+
+from ertdx.diffusion import (ddim_timesteps, get_diffusion_schedule,
+                             lambda_timesteps, q_sample, sample_ancestral,
+                             sample_ddim, sample_dpmpp_2m)
 
 
 def test_schedule_closed_form():
@@ -227,3 +230,12 @@ def test_ddim_eta1_matches_ancestral_statistically():
     assert abs(anc.mean() - ddim.mean()) < 0.08
     assert abs(anc.std() - ddim.std()) < 0.08
     assert abs(ddim.mean() - mu) < 0.2
+
+
+def test_lambda_timesteps_oversized_budget_raises():
+    """dpmpp step budgets beyond T would silently degrade into duplicate
+    (full-cost identity) solver steps; mirror ddim_timesteps and raise."""
+    sch = get_diffusion_schedule(10)
+    with pytest.raises(ValueError, match="num_steps"):
+        lambda_timesteps(sch, 50)
+    assert np.asarray(lambda_timesteps(sch, 10)).shape == (10,)

@@ -112,3 +112,19 @@ def test_posterior_service_http(trained_ckpt):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_scfg_from_request_gate():
+    """Any sampler-relevant key must build a SampleConfig — a request
+    carrying only guidance_scale/temperature was silently ignored once."""
+    from ertdx.serve import scfg_from_request
+
+    assert scfg_from_request({"conditions": [], "n_realizations": 8}) is None
+    for key, val, attr in (("guidance_scale", 2.0, "guidance_scale"),
+                           ("temperature", 1.5, "temperature"),
+                           ("dpmpp_steps", 8, "dpmpp_steps"),
+                           ("ddim_eta", 1.0, "ddim_eta"),
+                           ("sampler", "ddim", "sampler"),
+                           ("ddim_steps", 25, "ddim_steps")):
+        scfg = scfg_from_request({"conditions": [], key: val})
+        assert scfg is not None and getattr(scfg, attr) == val
