@@ -346,7 +346,10 @@ def _measure_uq_testset(model_name: str, n_test: int = 508,
 
     model, sch, state = _build(model_name)
     rng = np.random.default_rng(0)
-    conds = rng.uniform(size=(n_test, REF_LEN, REF_CH)).astype(np.float32)
+    # ONE host->device upload shared by every arm/repeat (the driver
+    # slices it device-side; the tunnel link makes re-uploads expensive)
+    conds = jax.device_put(
+        rng.uniform(size=(n_test, REF_LEN, REF_CH)).astype(np.float32))
     scaler = MinMaxScaler.fit(
         rng.uniform(size=(64, PARAM_DIM)).astype(np.float32))
     anc = SampleConfig(uncertainty_samples=n_real)

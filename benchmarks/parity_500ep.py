@@ -52,8 +52,17 @@ def make_dataset(return_forward: bool = False):
     from ertdx import data as data_lib
     from ertdx.doe import SurrogateDataGenerator
 
-    params_phys = SurrogateDataGenerator(seed=7).generate_training_samples(
-        N, "sobol")                                    # (N, P) physical
+    # deterministic (seeded) build: cache the raw arrays so repeated
+    # harness runs on the single-core host skip ~2-10 min of generation
+    cache = Path(__file__).resolve().parent / ".cache_parity_ds.npz"
+    cached = None
+    if cache.exists():
+        with np.load(cache) as z:
+            cached = {k: z[k] for k in z.files}
+
+    params_phys = (cached["params_phys"] if cached else
+                   SurrogateDataGenerator(seed=7).generate_training_samples(
+                       N, "sobol"))                    # (N, P) physical
     rng = np.random.default_rng(7)
     # standardized params -> smooth response map -> (N, L, C)
     mu, sd = params_phys.mean(0), params_phys.std(0) + 1e-9
@@ -71,10 +80,19 @@ def make_dataset(return_forward: bool = False):
                         optimize=True)
         return 50.0 + 8.0 * sig
 
-    signal = np.einsum("nk,lk,kc->nlc", ps.astype(np.float32) @ basis,
-                       waves, chan, optimize=True)
-    ert = 50.0 + 8.0 * signal + rng.normal(
-        0, 2.0, size=(N, L, C)).astype(np.float32)
+    if cached is not None:
+        # noise is the LAST rng draw, so skipping it leaves basis/waves/
+        # chan (already drawn above, identically) unaffected
+        ert = cached["ert"]
+    else:
+        signal = np.einsum("nk,lk,kc->nlc", ps.astype(np.float32) @ basis,
+                           waves, chan, optimize=True)
+        ert = 50.0 + 8.0 * signal + rng.normal(
+            0, 2.0, size=(N, L, C)).astype(np.float32)
+        try:
+            np.savez(cache, params_phys=params_phys, ert=ert)
+        except OSError:
+            pass                                       # cache is optional
     ds = data_lib.prepare_dataset(params_phys[..., None], ert)
     return (ds, forward) if return_forward else ds
 

@@ -268,15 +268,27 @@ def posterior_over_dataset(model, params, conditions: np.ndarray,
 
     Returns (pred (R, N, P) physical params, valid (R, N) mask). Reference:
     the test-set-wide UQ loop (ERT_Conditional_Diffusion.py:1036-1079).
+
+    TPU pipelining: the conditions land on device ONCE (per-batch slices
+    stay device-side — the host->device link here is a tunnel, and the
+    full test set is ~130 MB that must not be re-uploaded per batch), and
+    every batch is DISPATCHED before the first result is read back, so
+    host-side inverse/bounds work overlaps device compute instead of
+    serializing with it. Keys are folded per batch exactly as before, so
+    results are bitwise identical to the sequential loop.
     """
     space = space or ParameterSpace()
-    preds, masks = [], []
     n = conditions.shape[0]
+    if mesh is None and not isinstance(conditions, jax.Array):
+        conditions = jax.device_put(np.asarray(conditions))
+    outs = []
     for bi, s in enumerate(range(0, n, batch_size)):
-        cond = jnp.asarray(conditions[s:s + batch_size])
+        cond = conditions[s:s + batch_size]
         bkey = jax.random.fold_in(key, bi)
-        u = posterior_ensemble(model, params, cond, schedule, bkey,
-                               n_realizations, scfg, mesh=mesh)
+        outs.append(posterior_ensemble(model, params, cond, schedule, bkey,
+                                       n_realizations, scfg, mesh=mesh))
+    preds, masks = [], []
+    for u in outs:
         phys, mask = inverse_pipeline(np.asarray(u), param_scaler, a, b,
                                       space)
         preds.append(phys)

@@ -152,6 +152,21 @@ def test_posterior_over_dataset(tiny_dataset):
     assert pred.shape == (3, 10, 29)
     assert mask.shape == (3, 10)
 
+    # the pipelined driver (device-resident conditions, all batches
+    # dispatched before any readback) is BITWISE the sequential loop —
+    # keys fold per batch index identically
+    from ertdx.sample import inverse_pipeline, posterior_ensemble
+    parts = []
+    for bi, s in enumerate(range(0, 10, 4)):
+        u = posterior_ensemble(model, res.state.params,
+                               jnp.asarray(np.asarray(conds)[s:s + 4]),
+                               sch, jax.random.fold_in(jax.random.key(0),
+                                                       bi),
+                               n_realizations=3)
+        parts.append(inverse_pipeline(np.asarray(u),
+                                      tiny_dataset.param_scaler)[0])
+    np.testing.assert_array_equal(pred, np.concatenate(parts, axis=1))
+
 
 def test_ensemble_cache_not_id_keyed(tiny_dataset):
     """Two same-shaped but different-architecture models must get distinct
