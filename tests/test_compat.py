@@ -105,7 +105,7 @@ def test_cli_sample_with_torch_checkpoint(tmp_path):
     pth = os.path.join(tmp_path, "best_model.pth")
     torch.save(tm.state_dict(), pth)
 
-    n = 40
+    n = 32                      # power of 2: no Sobol balance warning
     params_phys = SurrogateDataGenerator(seed=1).generate_training_samples(
         n, "sobol")
     ert = np.random.default_rng(1).normal(
