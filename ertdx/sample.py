@@ -279,8 +279,10 @@ def posterior_over_dataset(model, params, conditions: np.ndarray,
     """
     space = space or ParameterSpace()
     n = conditions.shape[0]
-    if mesh is None and not isinstance(conditions, jax.Array):
-        conditions = jax.device_put(np.asarray(conditions))
+    if not isinstance(conditions, jax.Array):
+        conditions = jax.device_put(
+            np.asarray(conditions),
+            replicated(mesh) if mesh is not None else None)
     outs = []
     for bi, s in enumerate(range(0, n, batch_size)):
         cond = conditions[s:s + batch_size]

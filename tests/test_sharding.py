@@ -101,6 +101,19 @@ def test_sharded_sampler_equals_single_device(tiny_dataset):
     np.testing.assert_allclose(np.asarray(u_single), np.asarray(u_sharded),
                                rtol=1e-4, atol=1e-5)
 
+    # the pipelined test-set driver on the SAME mesh (conditions uploaded
+    # once, replicated; batches dispatched before readback) matches the
+    # unsharded driver
+    from ertdx.sample import posterior_over_dataset
+    conds = np.asarray(ds.conditions[:6])
+    p_single, _ = posterior_over_dataset(
+        model, state.params, conds, sch, key, ds.param_scaler,
+        n_realizations=3, batch_size=4)
+    p_mesh, _ = posterior_over_dataset(
+        model, state.params, conds, sch, key, ds.param_scaler,
+        n_realizations=3, batch_size=4, mesh=mesh)
+    np.testing.assert_allclose(p_single, p_mesh, rtol=1e-4, atol=1e-5)
+
 
 def test_full_train_loop_on_mesh(tiny_dataset):
     cfg = configs.ExperimentConfig(
