@@ -49,7 +49,12 @@ def inverse_transform(u: Array, a: float = 0.0, b: float = 1.0) -> Array:
     """
     if isinstance(u, jax.Array):
         return a + (b - a) * jax.nn.sigmoid(u)
-    return a + (b - a) * (1.0 / (1.0 + np.exp(-u)))
+    # numerically stable two-branch sigmoid: exp never sees a positive
+    # argument (naive 1/(1+exp(-u)) overflow-warns for large |u| draws)
+    un = np.asarray(u)
+    e = np.exp(-np.abs(un))
+    sig = np.where(un >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
+    return a + (b - a) * sig
 
 
 @jax.tree_util.register_pytree_node_class
