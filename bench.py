@@ -200,19 +200,22 @@ def _measure_train_step_scan(model_name: str, n_iter: int = 256,
     w = jnp.ones(REF_BATCH)
 
     @jax.jit
-    def run(state, key):
+    def run(state, x0, cond, w, key):
+        # data threaded as ARGUMENTS, never closure constants
+        # (CLAUDE.md: closed-over device arrays ride every program
+        # upload on the remote-compile backend)
         def st(s, k):
             s, loss = step(s, x0, cond, w, k)
             return s, loss
         _, losses = jax.lax.scan(st, state, jax.random.split(key, n_iter))
         return losses
 
-    out = run(state, jax.random.key(0))
+    out = run(state, x0, cond, w, jax.random.key(0))
     _ = float(out[-1])
     times = []
     for i in range(reps):
         t0 = time.perf_counter()
-        out = run(state, jax.random.key(1 + i))
+        out = run(state, x0, cond, w, jax.random.key(1 + i))
         _ = float(out[-1])
         times.append((time.perf_counter() - t0) / n_iter)
     return sorted(times)[len(times) // 2]

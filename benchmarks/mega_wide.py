@@ -102,7 +102,7 @@ def main() -> int:
 
     # ---- interleaved DDIM-50 ensemble A/B ----
     sch = get_diffusion_schedule(T)
-    scfg = SampleConfig(method="ddim", ddim_steps=50)
+    scfg = SampleConfig(sampler="ddim", ddim_steps=50)
     runs = {}
     for name, mega in (("fused_block", True), ("xla", False)):
         m, p, c = _build(mega)

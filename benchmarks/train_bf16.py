@@ -80,23 +80,26 @@ def main() -> int:
     cond = jnp.asarray(rng.uniform(size=(B, L, C)), jnp.float32)
 
     def make_run(model):
-        def batch_loss(p, key):
+        # data threaded as jit ARGUMENTS, not closure constants
+        # (CLAUDE.md: closed-over device arrays bloat every program)
+        def batch_loss(p, x0_, cond_, ab_, key):
             kt, kn = jax.random.split(key)
             t = jax.random.randint(kt, (B,), 0, T, jnp.int32)
-            noise = jax.random.normal(kn, x0.shape, x0.dtype)
-            x_noisy = q_sample(x0, t, noise, ab)
-            eps_hat = model.apply({"params": p}, x_noisy, t, cond)
+            noise = jax.random.normal(kn, x0_.shape, x0_.dtype)
+            x_noisy = q_sample(x0_, t, noise, ab_)
+            eps_hat = model.apply({"params": p}, x_noisy, t, cond_)
             return jnp.mean((eps_hat.astype(jnp.float32) - noise) ** 2)
 
         @jax.jit
-        def run(state, key):
+        def run(state, x0_, cond_, ab_, key):
             def st(s, k):
-                loss, grads = jax.value_and_grad(batch_loss)(s.params, k)
+                loss, grads = jax.value_and_grad(batch_loss)(
+                    s.params, x0_, cond_, ab_, k)
                 return s.apply_gradients(grads=grads), loss
             state, losses = jax.lax.scan(st, state,
                                          jax.random.split(key, N_ITER))
             return state, losses
-        return run
+        return lambda state, key: run(state, x0, cond, ab, key)
 
     runs = {k: (make_run(m), _mk(m, B)) for k, m in models.items()}
     for name, (run, st0) in runs.items():

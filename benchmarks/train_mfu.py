@@ -83,27 +83,31 @@ def main() -> int:
     state_fc = _mk_state(model_fc, B, optax.adam(1e-4))
     params = state_tree.params
 
-    def batch_loss(p, key, mdl=None):
+    # data rides through `d = (x0, cond, ab)` as jit ARGUMENTS — never
+    # closure constants (CLAUDE.md: baked device arrays bloat/slow every
+    # compiled program on the remote backend)
+    def batch_loss(p, d, key, mdl=None):
+        x0_, cond_, ab_ = d
         kt, kn = jax.random.split(key)
         t = jax.random.randint(kt, (B,), 0, T, jnp.int32)
-        noise = jax.random.normal(kn, x0.shape, x0.dtype)
-        x_noisy = q_sample(x0, t, noise, ab)
-        eps_hat = (mdl or model).apply({"params": p}, x_noisy, t, cond)
+        noise = jax.random.normal(kn, x0_.shape, x0_.dtype)
+        x_noisy = q_sample(x0_, t, noise, ab_)
+        eps_hat = (mdl or model).apply({"params": p}, x_noisy, t, cond_)
         return jnp.mean((eps_hat - noise) ** 2)
 
     @jax.jit
-    def run_full(state, key):
+    def run_full(state, d, key):
         def st(s, k):
-            loss, grads = jax.value_and_grad(batch_loss)(s.params, k)
+            loss, grads = jax.value_and_grad(batch_loss)(s.params, d, k)
             return s.apply_gradients(grads=grads), loss
         state, losses = jax.lax.scan(st, state,
                                      jax.random.split(key, N_ITER))
         return losses
 
     @jax.jit
-    def run_sgd(params, key):
+    def run_sgd(params, d, key):
         def st(p, k):
-            loss, grads = jax.value_and_grad(batch_loss)(p, k)
+            loss, grads = jax.value_and_grad(batch_loss)(p, d, k)
             p = jax.tree_util.tree_map(lambda a, g: a - 1e-4 * g, p, grads)
             return p, loss
         _, losses = jax.lax.scan(st, params,
@@ -111,10 +115,10 @@ def main() -> int:
         return losses
 
     @jax.jit
-    def run_grads(params, key):
+    def run_grads(params, d, key):
         # consume grads into the carry (a scaled add) so nothing hoists
         def st(p, k):
-            loss, grads = jax.value_and_grad(batch_loss)(p, k)
+            loss, grads = jax.value_and_grad(batch_loss)(p, d, k)
             p = jax.tree_util.tree_map(lambda a, g: a + 0.0 * g, p, grads)
             return p, loss
         _, losses = jax.lax.scan(st, params,
@@ -122,20 +126,20 @@ def main() -> int:
         return losses
 
     @jax.jit
-    def run_fwd(params, key):
+    def run_fwd(params, d, key):
         def st(c, k):
             loss = batch_loss(
                 jax.tree_util.tree_map(
-                    lambda a: a + 0.0 * c, params), k)
+                    lambda a: a + 0.0 * c, params), d, k)
             return loss, loss
         _, losses = jax.lax.scan(st, 0.0, jax.random.split(key, N_ITER))
         return losses
 
     @jax.jit
-    def run_full_fc(state, key):
+    def run_full_fc(state, d, key):
         def st(s, k):
             loss, grads = jax.value_and_grad(
-                lambda p, kk: batch_loss(p, kk, model_fc))(s.params, k)
+                lambda p, kk: batch_loss(p, d, kk, model_fc))(s.params, k)
             return s.apply_gradients(grads=grads), loss
         state, losses = jax.lax.scan(st, state,
                                      jax.random.split(key, N_ITER))
@@ -150,8 +154,9 @@ def main() -> int:
         "fwd_only": (run_fwd, (params,)),
     }
 
+    data = (x0, cond, ab)
     for name, (run, ops) in variants.items():
-        o = run(*ops, jax.random.key(0))
+        o = run(*ops, data, jax.random.key(0))
         _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[-1])
         print(json.dumps({f"{name}_compiled": True}), flush=True)
 
@@ -159,14 +164,14 @@ def main() -> int:
     for rep in range(args.reps):
         for name, (run, ops) in variants.items():
             t0 = time.perf_counter()
-            o = run(*ops, jax.random.key(1 + rep))
+            o = run(*ops, data, jax.random.key(1 + rep))
             _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[-1])
             times[name].append((time.perf_counter() - t0) / N_ITER)
     out = {f"{k}_ms": round(sorted(v)[len(v) // 2] * 1e3, 3)
            for k, v in times.items()}
     # equality check: flat and tree Adam must produce the same loss stream
-    a = run_full(state_tree, jax.random.key(9))
-    b = run_full(state_flat, jax.random.key(9))
+    a = run_full(state_tree, data, jax.random.key(9))
+    b = run_full(state_flat, data, jax.random.key(9))
     out["flat_vs_tree_max_loss_delta"] = float(
         jnp.max(jnp.abs(a - b)))
     print(json.dumps({"device": jax.devices()[0].device_kind,

@@ -121,9 +121,14 @@ def main() -> int:
 
     out = {"model": args.model, "seed": args.seed, "ema_decay": args.ema,
            "n_real": N_REAL, "n_test": int(len(test_idx)), "stages": {}}
-    prior = OUT / f"ema_s{args.seed}.json"
+    # stage file scoped by model (checkpoints already are); the legacy
+    # unscoped name is kept for the shipped condunet artifact
+    stem = ("ema" if args.model == "condunet" else f"ema_{args.model}")
+    prior = OUT / f"{stem}_s{args.seed}.json"
     if prior.exists():     # continuation after an interrupted campaign
-        out["stages"] = json.loads(prior.read_text()).get("stages", {})
+        prev = json.loads(prior.read_text())
+        if prev.get("model", args.model) == args.model:
+            out["stages"] = prev.get("stages", {})
     for epochs in stages:
         if str(epochs) in out["stages"]:
             continue
@@ -136,7 +141,7 @@ def main() -> int:
                  "raw": run_uq(res.state.params, f"e{epochs}/raw"),
                  "ema": run_uq(res.state.ema_params, f"e{epochs}/ema")}
         out["stages"][str(epochs)] = entry
-        (OUT / f"ema_s{args.seed}.json").write_text(json.dumps(out, indent=1))
+        prior.write_text(json.dumps(out, indent=1))
 
     # best-val checkpoint (the flagship campaign's selection rule): raw
     # vs its EMA companion, plus EMA at the tempering sweep's pick
@@ -147,7 +152,7 @@ def main() -> int:
                    "ema": run_uq(best_state.ema_params, "best/ema"),
                    "ema_t1.5": run_uq(best_state.ema_params, "best/ema_t1.5",
                                       temperature=1.5)}
-    (OUT / f"ema_s{args.seed}.json").write_text(json.dumps(out, indent=1))
+    prior.write_text(json.dumps(out, indent=1))
     return 0
 
 

@@ -146,13 +146,22 @@ def gather_srv_ensemble(directories, prefix: str,
                 f"{d!r} has {len(paths)} survey files, expected {per_sim}")
         all_paths.extend(paths)
 
-    batch = srv_native.read_srv_batch(all_paths, fmt.skip_header,
-                                      fmt.usecols)
-    if batch is None:                       # extension absent: fall back
-        batch = np.concatenate([read_srv_file(p, fmt) for p in all_paths])
-    if batch.size % len(dirs):
+    res = srv_native.read_srv_batch(all_paths, fmt.skip_header,
+                                    fmt.usecols, return_counts=True)
+    if res is None:                         # extension absent: fall back
+        parts = [read_srv_file(p, fmt) for p in all_paths]
+        counts = np.array([p.size for p in parts], dtype=np.int64)
+        batch = np.concatenate(parts)
+    else:
+        batch, counts = res
+    # uniform per-file rows: total-size divisibility alone would let a
+    # truncated survey silently shift rows across simulations
+    if len(set(counts.tolist())) > 1:
+        bad = {all_paths[i]: int(c) for i, c in enumerate(counts)
+               if c != counts[0]}
         raise ValueError(
-            f"ragged ensemble: {batch.size} values over {len(dirs)} sims")
+            f"ragged ensemble: per-file row counts differ from "
+            f"{int(counts[0])}: {dict(list(bad.items())[:4])}")
     return batch.reshape(len(dirs), -1)
 
 

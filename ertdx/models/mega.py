@@ -29,10 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.core_block import (_CORE_VMEM_BUDGET, block_vmem_bytes,
-                              fused_core_block, fused_core_stack,
-                              pick_block_chunk, pick_chunk,
-                              pick_stack_outer, stack_vmem_bytes)
+from ..ops.core_block import (fused_core_block, fused_core_stack,
+                              pick_block_chunk, pick_stack_outer)
 from .common import get_timestep_embedding
 
 _LN_EPS = 1e-6   # flax nn.LayerNorm default

@@ -62,11 +62,12 @@ def read_srv_column(path: str, skip_header: int,
     return out[:got]
 
 
-def read_srv_batch(paths, skip_header: int,
-                   usecols: int) -> Optional[np.ndarray]:
+def read_srv_batch(paths, skip_header: int, usecols: int,
+                   return_counts: bool = False) -> Optional[np.ndarray]:
     """Parse MANY files with the C++ thread pool; returns the flat
     concatenation of every file's column (file order preserved), or None
-    to signal the per-file/numpy fallback."""
+    to signal the per-file/numpy fallback. return_counts=True returns
+    (flat, per-file row counts) so callers can validate shape uniformity."""
     lib = _load()
     if lib is None or not paths:
         return None
@@ -100,4 +101,4 @@ def read_srv_batch(paths, skip_header: int,
         counts_p, 0)
     if rc != 0:
         return None
-    return out
+    return (out, counts) if return_counts else out

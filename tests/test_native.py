@@ -116,3 +116,11 @@ def test_gather_srv_ensemble(tmp_path, native):
     import pytest
     with pytest.raises(ValueError, match="survey files"):
         gather_srv_ensemble(dirs, "job", fmt)
+    (dirs[1] / "job-E1-40d.srv").unlink()
+
+    # ragged per-file ROW counts must raise even when the total size
+    # happens to divide evenly (was: silent row shift across sims)
+    _write(dirs[0] / "job-E1-10d.srv", header=2, rows=12)   # 12,11,11
+    _write(dirs[1] / "job-E1-10d.srv", header=2, rows=10)   # 10,11,11
+    with pytest.raises(ValueError, match="row counts"):
+        gather_srv_ensemble(dirs[:2], "job", fmt)
