@@ -86,6 +86,11 @@ def sample_ancestral(denoise_fn: DenoiseFn, key: jax.Array, shape,
     """
     T = schedule.num_steps
     num_steps = T if truncate_steps is None else int(truncate_steps)
+    if num_steps > T:
+        # OOB schedule gathers would silently clamp to t=T-1 under jit
+        # and repeat that update for the excess steps; raise like the
+        # ddim/dpmpp timestep constructors do
+        raise ValueError(f"truncate_steps {num_steps} > schedule T {T}")
     B = shape[0]
 
     key, init_key = jax.random.split(key)
@@ -183,6 +188,15 @@ def sample_ddim(denoise_fn: DenoiseFn, key: jax.Array, shape,
     return x_final
 
 
+def _log_snr(alpha_bar: jnp.ndarray) -> jnp.ndarray:
+    """lambda = log(alpha/sigma) = 0.5 (log(abar) - log1p(-abar)).
+
+    The log1p form stays accurate for abar ~ 1 (the clean end), where
+    log(sqrt(1-abar)) cancels catastrophically in float32. Single source
+    of truth for the grid constructor AND the dpmpp step sizes."""
+    return 0.5 * (jnp.log(alpha_bar) - jnp.log1p(-alpha_bar))
+
+
 def lambda_timesteps(schedule: DiffusionSchedule,
                      num_steps: int) -> jnp.ndarray:
     """Decreasing timestep subsequence uniform in log-SNR (lambda).
@@ -202,7 +216,7 @@ def lambda_timesteps(schedule: DiffusionSchedule,
         raise ValueError(f"num_steps {num_steps} > schedule T "
                          f"{schedule.num_steps}")
     ab = schedule.alpha_bar.astype(jnp.float32)
-    lam = 0.5 * (jnp.log(ab) - jnp.log1p(-ab))     # decreasing in t
+    lam = _log_snr(ab)                             # decreasing in t
     T = schedule.num_steps
     if num_steps == 1:
         return jnp.array([T - 1], dtype=jnp.int32)
@@ -255,7 +269,7 @@ def sample_dpmpp_2m(denoise_fn: DenoiseFn, key: jax.Array, shape,
     abar_seq = alpha_bar[ts_desc]           # decreasing noise order
     alpha_seq = jnp.sqrt(abar_seq)
     sigma_seq = jnp.sqrt(1.0 - abar_seq)
-    lam_seq = jnp.log(alpha_seq) - jnp.log(sigma_seq)
+    lam_seq = _log_snr(abar_seq)            # log1p-accurate near abar~1
 
     # target point of step j is point j+1; the final target is clean
     # (alpha=1, sigma=0, lambda=+inf) — handled by its exact limit below.

@@ -110,13 +110,21 @@ def batched_kde_mode(samples: np.ndarray, grid_points: int = 5000,
     pts = samples.reshape(n, m * s).T  # (P, N)
     grid = jnp.linspace(float(samples.min()), float(samples.max()),
                         grid_points, dtype=jnp.float32)
-    h = np.maximum(_scott_bandwidth(pts.astype(np.float64)), 1e-12)
+    h_raw = _scott_bandwidth(pts.astype(np.float64))
+    h = np.maximum(h_raw, 1e-12)
     out = np.empty(pts.shape[0], np.float32)
     for s0 in range(0, pts.shape[0], chunk):
         blk = pts[s0:s0 + chunk]
         hb = jnp.asarray(h[s0:s0 + chunk], jnp.float32)
         out[s0:s0 + chunk] = np.asarray(
             _kde_mode_kernel(jnp.asarray(blk), grid, hb))
+    # zero-variance pixels: the clamped bandwidth underflows every
+    # gridpoint's density to 0 and argmax would report the grid MINIMUM;
+    # the mode of a constant ensemble is that constant (mode_kde_
+    # calculation's h==0 branch does the same)
+    const = h_raw <= 0
+    if const.any():
+        out[const] = pts[const, 0]
     return out.reshape(m, s)
 
 
@@ -193,14 +201,18 @@ def coverage_proportions(pred: np.ndarray, true: np.ndarray,
     true = np.asarray(true)
     if prob_array is None:
         prob_array = np.linspace(0.01, 0.99, 30)
-    avg = np.zeros(len(prob_array))
-    for i, p in enumerate(prob_array):
-        p_low = (1 - p) / 2
-        p_upp = (1 + p) / 2
-        low = np.percentile(pred, p_low * 100, axis=0)
-        upp = np.percentile(pred, p_upp * 100, axis=0)
-        avg[i] = np.mean(((low < true) & (true <= upp)).astype(int))
+    p = np.asarray(prob_array, dtype=np.float64)
+    # all 2*len(p) interval bounds in two vectorized percentile passes
+    # (one per bound set) instead of 60 full-array partitions
+    low = np.percentile(pred, (1 - p) / 2 * 100, axis=0)   # (len(p), ...)
+    upp = np.percentile(pred, (1 + p) / 2 * 100, axis=0)
+    cover = (low < true) & (true <= upp)
+    avg = cover.reshape(len(p), -1).mean(axis=1)
     return avg, prob_array
+
+
+# numpy renamed trapz -> trapezoid in 2.0; support both
+_trapezoid = np.trapezoid if hasattr(np, "trapezoid") else np.trapz
 
 
 def avg_prop_indicator_function(avg_proportion: np.ndarray,
@@ -211,7 +223,7 @@ def avg_prop_indicator_function(avg_proportion: np.ndarray,
 
 def accuracy_score(a_p: np.ndarray, prob_array: np.ndarray) -> float:
     """Accuracy = integral of a(p) dp (trapezoid). Reference: :1098-1100."""
-    return float(np.trapezoid(a_p, prob_array))
+    return float(_trapezoid(a_p, prob_array))
 
 
 def precision_score(accuracy: float, avg_proportion: np.ndarray,
@@ -220,7 +232,7 @@ def precision_score(accuracy: float, avg_proportion: np.ndarray,
     Reference (sic 'preccision_score'): :1102-1109."""
     if accuracy == 0:
         return 0.0
-    integ = np.trapezoid(a_p * (avg_proportion - prob_array), prob_array)
+    integ = _trapezoid(a_p * (avg_proportion - prob_array), prob_array)
     return float(1.0 - 2.0 * integ)
 
 
@@ -231,14 +243,18 @@ preccision_score = precision_score
 def goodness_score(a_p: np.ndarray, avg_proportion: np.ndarray,
                    prob_array: np.ndarray) -> float:
     """Goodness = 1 - ∫ (3a - 2)(xi-bar - p) dp. Reference: :1111-1115."""
-    integ = np.trapezoid((3 * a_p - 2) * (avg_proportion - prob_array),
+    integ = _trapezoid((3 * a_p - 2) * (avg_proportion - prob_array),
                          prob_array)
     return float(1.0 - integ)
 
 
 def uq_scores(pred: np.ndarray, true: np.ndarray,
-              prob_array: Optional[np.ndarray] = None) -> Dict[str, float]:
-    """Joint accuracy/precision/goodness for an ensemble vs truth."""
+              prob_array: Optional[np.ndarray] = None) -> Dict[str, object]:
+    """Joint accuracy/precision/goodness for an ensemble vs truth.
+
+    The 'accuracy'/'precision'/'goodness' values are floats; the
+    'avg_proportion'/'prob_array' keys carry the coverage CURVE as
+    ndarrays (filter them before json.dumps)."""
     avg, probs = coverage_proportions(pred, true, prob_array)
     a_p = avg_prop_indicator_function(avg, probs)
     acc = accuracy_score(a_p, probs)

@@ -239,3 +239,12 @@ def test_lambda_timesteps_oversized_budget_raises():
     with pytest.raises(ValueError, match="num_steps"):
         lambda_timesteps(sch, 50)
     assert np.asarray(lambda_timesteps(sch, 10)).shape == (10,)
+
+
+def test_truncate_steps_oversize_raises():
+    """truncate_steps > T would silently clamp OOB schedule gathers under
+    jit (repeating the t=T-1 update); it must raise instead."""
+    sch = get_diffusion_schedule(10)
+    with pytest.raises(ValueError, match="truncate_steps"):
+        sample_ancestral(lambda x, t: x, jax.random.key(0), (2, 4), sch,
+                         truncate_steps=11)

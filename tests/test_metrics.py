@@ -127,3 +127,33 @@ def test_per_parameter_uq(rng):
     assert rows[0]["Parameter"] == "Hanford Fm porosity"
     for r in rows:
         assert 0 <= r["Accuracy"] <= 1
+
+
+def test_batched_kde_mode_constant_pixel():
+    """A zero-variance pixel's mode is its constant value, not the grid
+    minimum (the clamped bandwidth underflows its density to zero)."""
+    from ertdx.metrics import batched_kde_mode
+
+    rng = np.random.default_rng(0)
+    samples = rng.uniform(0.0, 10.0, size=(20, 3, 2))
+    samples[:, 1, 0] = 5.0                    # constant ensemble
+    modes = batched_kde_mode(samples, grid_points=256)
+    assert modes.shape == (3, 2)
+    assert modes[1, 0] == pytest.approx(5.0)
+    assert 0.0 < modes[0, 0] < 10.0
+
+
+def test_coverage_proportions_vectorized_matches_loop():
+    from ertdx.metrics import coverage_proportions
+
+    rng = np.random.default_rng(3)
+    pred = rng.normal(size=(40, 17, 5))
+    true = rng.normal(size=(17, 5))
+    avg, probs = coverage_proportions(pred, true)
+    # reference-style per-p loop (ERT_Conditional_Diffusion.py:1121-1132)
+    for i, p in enumerate(probs):
+        low = np.percentile(pred, (1 - p) / 2 * 100, axis=0)
+        upp = np.percentile(pred, (1 + p) / 2 * 100, axis=0)
+        expect = np.mean(((low < true) & (true <= upp)).astype(int))
+        assert avg[i] == pytest.approx(expect)
+    assert (np.diff(probs) > 0).all()
