@@ -203,6 +203,13 @@ def cmd_sample(args) -> int:
                     "with --ema-decay > 0 first") from e
             raise
         sample_params = state.ema_params if args.ema else state.params
+        if args.ema and sample_params is None:
+            # config-echo restore succeeds even when the checkpoint was
+            # trained without EMA (the echo wins over the forced
+            # template), so check the restored slot explicitly
+            raise SystemExit(
+                "--ema: this checkpoint has no EMA parameters; train "
+                "with --ema-decay > 0 first")
     ds = data_lib.prepare_dataset(sim_param, ert,
                                   param_scaler=scalers.get("param_scaler"),
                                   ert_scaler=scalers.get("ert_scaler"))

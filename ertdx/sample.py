@@ -74,6 +74,12 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
     if scfg.sampler not in ("ancestral", "ddim", "dpmpp"):
         raise ValueError(f"unknown sampler {scfg.sampler!r} "
                          "(expected 'ancestral', 'ddim' or 'dpmpp')")
+    if truncate_steps is not None and scfg.sampler != "ancestral":
+        # the compat truncation is an ancestral-only notion; silently
+        # ignoring it would return different samples than requested
+        raise ValueError("truncate_steps is the reference's ancestral "
+                         "compat mode; use ddim_steps/dpmpp_steps for "
+                         f"the {scfg.sampler!r} sampler's step budget")
     # a step budget >= T means "use the full chain": clamp instead of
     # letting the timestep-grid constructors raise — small-T presets with
     # the default ddim_steps=50/dpmpp_steps=15 are otherwise unusable
@@ -103,8 +109,11 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
 
     shard_chains = None
     if mesh is not None:
-        n_dev = int(np.prod(list(mesh.devices.shape)))
-        if (n_realizations * batch) % n_dev == 0:
+        # batch_sharding splits over the 'data' axis only, so gate on
+        # THAT axis size (gating on the total device count wrongly kept
+        # dp=4,tp=2 meshes replicated whenever chains % 8 != 0)
+        n_data = dict(mesh.shape).get("data", 1)
+        if n_data > 1 and (n_realizations * batch) % n_data == 0:
             shard_chains = batch_sharding(mesh)
 
     ensemble_native = hasattr(model, "denoise_ensemble")

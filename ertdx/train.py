@@ -244,7 +244,7 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
 
 def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
                    donate: bool = True, ema_decay: float = 0.0,
-                   uncond_prob: float = 0.0):
+                   uncond_prob: float = 0.0, batch_shard=None):
     """Multi-epoch train+val in ONE dispatch: scan(epochs) of scan(batches).
 
     Removes per-dispatch host latency entirely for E epochs at a time
@@ -297,6 +297,13 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
                 nb, bsz, *x0_tr.shape[1:])
             cond_b = jnp.take(cond_tr, flat, axis=0).reshape(
                 nb, bsz, *cond_tr.shape[1:])
+            if batch_shard is not None:
+                # DP inside the multi-epoch dispatch too: shard the
+                # per-batch axis of the scanned slabs (mirrors
+                # make_epoch_step; GSPMD all-reduces the grads)
+                x0_b = jax.lax.with_sharding_constraint(x0_b, batch_shard)
+                cond_b = jax.lax.with_sharding_constraint(cond_b,
+                                                          batch_shard)
             state, losses = jax.lax.scan(batch_body, state,
                                          (x0_b, cond_b, bkeys))
 
@@ -306,6 +313,11 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
                 nv, bv, *x0_va.shape[1:])
             cond_vb = jnp.take(cond_va, vflat, axis=0).reshape(
                 nv, bv, *cond_va.shape[1:])
+            if batch_shard is not None:
+                x0_vb = jax.lax.with_sharding_constraint(x0_vb,
+                                                         batch_shard)
+                cond_vb = jax.lax.with_sharding_constraint(cond_vb,
+                                                           batch_shard)
 
             def val_body(_, vinp):
                 x0, cond, w, k = vinp
@@ -334,12 +346,9 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
             (batch_idx, epoch_keys, val_keys))
         return state, tr, va, best
 
-    def _snapshot(state):
-        d = {"params": state.params, "opt_state": state.opt_state,
-             "step": state.step}
-        if state.ema_params is not None:
-            d["ema_params"] = state.ema_params
-        return d
+    # the in-scan best snapshot must stay structurally identical to every
+    # other save/restore path
+    _snapshot = _state_dict
 
     jitted = jax.jit(_run, donate_argnums=(0,) if donate else ())
 
@@ -546,11 +555,16 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
     if device_resident and K > 1:
         run_fn = make_train_run(model.apply, schedule,
                                 ema_decay=tcfg.ema_decay,
-                                uncond_prob=cfg.model.uncond_prob)
+                                uncond_prob=cfg.model.uncond_prob,
+                                batch_shard=batch_shard)
         epoch = start_epoch
         while epoch < tcfg.num_epochs:
             k_now = min(K, tcfg.num_epochs - epoch)
             t_ep0 = time.perf_counter()
+            # host-side epoch shuffles use numpy PCG64, a deliberate
+            # exception to the threefry convention: the permutation never
+            # touches the device and SeedSequence([seed, 7, e]) keeps it
+            # deterministic per (seed, epoch) across both dispatch paths
             bidx = np.stack([
                 _epoch_batches(
                     len(x0_tr), tcfg.batch_size,
@@ -598,7 +612,8 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                        "best_epoch": best_epoch,
                        "train_history": train_hist,
                        "val_history": val_hist})
-            if epoch % tcfg.log_every == 0 or epoch >= tcfg.num_epochs:
+            if tcfg.log_every and (epoch % tcfg.log_every == 0
+                                   or epoch >= tcfg.num_epochs):
                 logger.log({"epoch": epoch, "train_loss": float(tr[-1]),
                             "val_loss": float(va[-1]),
                             "best_val": best_val})
@@ -609,6 +624,7 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
     for epoch in range(start_epoch, tcfg.num_epochs):
         # ---- train ----
         t_ep0 = time.perf_counter()
+        # numpy PCG64 on purpose (host-side only) — see the K>1 path note
         order = np.random.default_rng(
             np.random.SeedSequence([tcfg.seed, 7, epoch])).permutation(
                 len(x0_tr))
@@ -676,7 +692,7 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                   {"epoch": epoch + 1, "best_val_loss": best_val,
                    "best_epoch": best_epoch, "train_history": train_hist,
                    "val_history": val_hist})
-        if (epoch + 1) % tcfg.log_every == 0:
+        if tcfg.log_every and (epoch + 1) % tcfg.log_every == 0:
             logger.log({"epoch": epoch + 1, "train_loss": epoch_loss,
                         "val_loss": val_loss, "best_val": best_val,
                         "improved": int(improved)})

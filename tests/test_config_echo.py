@@ -97,3 +97,23 @@ def test_cli_load_cfg_adopts_checkpoint(tiny_dataset, tmp_path):
 
 def test_saved_config_absent_for_legacy_checkpoints(tmp_path):
     assert saved_config(str(tmp_path / "nope")) is None
+
+
+def test_cli_ema_on_non_ema_checkpoint_exits_cleanly(tiny_dataset,
+                                                     tmp_path):
+    """--ema on a checkpoint trained without EMA must SystemExit with the
+    actionable message (the config echo makes the restore itself succeed,
+    so the CLI checks the restored slot explicitly)."""
+    from ertdx.cli import main
+
+    cfg = _cfg(tmp_path)
+    train(cfg, tiny_dataset)
+    p, e = tmp_path / "p.npy", tmp_path / "e.npy"
+    rng = np.random.default_rng(0)
+    np.save(p, rng.uniform(0.1, 0.9, (16, 29, 1)))
+    np.save(e, rng.normal(50, 10, (16, 96, 4)))
+    with pytest.raises(SystemExit, match="no EMA"):
+        main(["sample", "--params", str(p), "--ert", str(e),
+              "--checkpoint-dir", cfg.train.checkpoint_dir, "--ema",
+              "--realizations", "2",
+              "--out", str(tmp_path / "u.npy")])

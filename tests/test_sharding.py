@@ -139,6 +139,18 @@ def test_full_train_loop_on_mesh(tiny_dataset):
     np.testing.assert_allclose(res_pb_mesh.train_history,
                                res_pb.train_history, rtol=1e-5)
 
+    # K>1 multi-epoch dispatch on the SAME mesh: the scanned slabs carry
+    # the DP sharding constraint (was: silently replicated) and numerics
+    # still match the single-device K>1 run
+    cfg_k = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, epochs_per_dispatch=2))
+    res_k_mesh = train(cfg_k, tiny_dataset, mesh=mesh)
+    res_k = train(cfg_k, tiny_dataset)
+    np.testing.assert_allclose(res_k_mesh.train_history,
+                               res_k.train_history, rtol=1e-5)
+    np.testing.assert_allclose(res_k_mesh.val_history, res_k.val_history,
+                               rtol=1e-5)
+
 
 def test_tp_sharded_train_step_equals_single_device(tiny_dataset):
     """DP+TP (data=4, model=2): column-sharded wide kernels + sharded batch

@@ -337,3 +337,35 @@ def test_classifier_free_guidance(tiny_dataset, tmp_path):
                            jax.random.key(2), n_realizations=2,
                            scfg=configs.SampleConfig(
                                uncertainty_samples=2, guidance_scale=2.0))
+
+
+def test_truncate_steps_rejected_for_non_ancestral(tiny_dataset):
+    """truncate_steps is ancestral-only; passing it with ddim/dpmpp must
+    raise instead of being silently ignored."""
+    from ertdx.sample import posterior_ensemble
+
+    cfg = _cfg()
+    model = build_model(cfg.model)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((2, 29)), jnp.zeros((2,), jnp.int32),
+        jnp.asarray(tiny_dataset.conditions[:2]))["params"]
+    sch = get_diffusion_schedule(cfg.diffusion.T)
+    with pytest.raises(ValueError, match="truncate_steps"):
+        posterior_ensemble(model, params,
+                           jnp.asarray(tiny_dataset.conditions[:2]), sch,
+                           jax.random.key(1), n_realizations=2,
+                           scfg=configs.SampleConfig(uncertainty_samples=2,
+                                                     sampler="ddim"),
+                           truncate_steps=5)
+
+
+def test_log_every_zero_disables_logging(tiny_dataset, tmp_path):
+    """log_every=0 follows the '0 = off' convention instead of dividing
+    by zero (both dispatch paths)."""
+    for k in (1, 2):
+        cfg = _cfg(tmp_path / f"k{k}", num_epochs=2)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, log_every=0,
+                                           epochs_per_dispatch=k))
+        res = train(cfg, tiny_dataset)
+        assert np.isfinite(res.train_history).all()
