@@ -140,6 +140,35 @@ def _make_eps_fn(apply_fn: Callable, uncond_prob: float):
     return eps_fn
 
 
+def _make_batch_update(eps_fn: Callable, T: int, ema_decay: float):
+    """THE one train-step body (t/noise draw, q_sample, eps-MSE,
+    apply_gradients, EMA) shared by all three dispatch paths — the
+    bitwise cross-path parity the module advertises depends on there
+    being exactly one copy of this logic.
+
+    w=None keeps the exact unweighted jnp.mean (the device-resident
+    paths' historical form, bitwise); a weight vector selects the
+    padded-batch weighted mean."""
+    def update(state: TrainState, x0, cond, w, key, alpha_bar):
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (x0.shape[0],), 0, T, dtype=jnp.int32)
+        noise = jax.random.normal(kn, x0.shape, x0.dtype)
+        x_noisy = q_sample(x0, t, noise, alpha_bar)
+
+        def loss_fn(params):
+            eps_hat = eps_fn(params, x_noisy, t, cond, key)
+            if w is None:
+                return jnp.mean((eps_hat - noise) ** 2)
+            return weighted_eps_mse(eps_hat, noise, w)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        if ema_decay > 0.0:
+            state = _ema_update(state, ema_decay)
+        return state, loss
+    return update
+
+
 def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
                     donate: bool = True, ema_decay: float = 0.0,
                     uncond_prob: float = 0.0):
@@ -148,24 +177,7 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
     # and argument-passing keeps one program across schedule values
     T = schedule.num_steps
     eps_fn = _make_eps_fn(apply_fn, uncond_prob)
-
-    def _step(state: TrainState, x0: jax.Array, cond: jax.Array,
-              w: jax.Array, key: jax.Array, alpha_bar: jax.Array):
-        B = x0.shape[0]
-        kt, kn = jax.random.split(key)
-        t = jax.random.randint(kt, (B,), 0, T, dtype=jnp.int32)
-        noise = jax.random.normal(kn, x0.shape, x0.dtype)
-        x_noisy = q_sample(x0, t, noise, alpha_bar)
-
-        def loss_fn(params):
-            eps_hat = eps_fn(params, x_noisy, t, cond, key)
-            return weighted_eps_mse(eps_hat, noise, w)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        state = state.apply_gradients(grads=grads)
-        if ema_decay > 0.0:
-            state = _ema_update(state, ema_decay)
-        return state, loss
+    _step = _make_batch_update(eps_fn, T, ema_decay)
 
     jitted = jax.jit(_step, donate_argnums=(0,) if donate else ())
 
@@ -210,22 +222,12 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
             x0_b = jax.lax.with_sharding_constraint(x0_b, batch_shard)
             cond_b = jax.lax.with_sharding_constraint(cond_b, batch_shard)
 
+        update = _make_batch_update(eps_fn, T, ema_decay)
+
         def body(carry, inp):
             state, = carry
             x0, cond, k = inp
-            kt, kn = jax.random.split(k)
-            t = jax.random.randint(kt, (x0.shape[0],), 0, T, jnp.int32)
-            noise = jax.random.normal(kn, x0.shape, x0.dtype)
-            x_noisy = q_sample(x0, t, noise, alpha_bar)
-
-            def loss_fn(params):
-                eps_hat = eps_fn(params, x_noisy, t, cond, k)
-                return jnp.mean((eps_hat - noise) ** 2)
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            state = state.apply_gradients(grads=grads)
-            if ema_decay > 0.0:
-                state = _ema_update(state, ema_decay)
+            state, loss = update(state, x0, cond, None, k, alpha_bar)
             return (state,), loss
 
         keys = jax.random.split(key, batch_idx.shape[0])
@@ -269,22 +271,11 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
     def _run(state, x0_tr, cond_tr, batch_idx, epoch_keys,
              x0_va, cond_va, val_idx, val_w, val_keys, best_val_in,
              alpha_bar):
+        update = _make_batch_update(eps_fn, T, ema_decay)
+
         def batch_body(state, inp):
             x0, cond, k = inp
-            kt, kn = jax.random.split(k)
-            t = jax.random.randint(kt, (x0.shape[0],), 0, T, jnp.int32)
-            noise = jax.random.normal(kn, x0.shape, x0.dtype)
-            x_noisy = q_sample(x0, t, noise, alpha_bar)
-
-            def loss_fn(params):
-                eps_hat = eps_fn(params, x_noisy, t, cond, k)
-                return jnp.mean((eps_hat - noise) ** 2)
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            state = state.apply_gradients(grads=grads)
-            if ema_decay > 0.0:
-                state = _ema_update(state, ema_decay)
-            return state, loss
+            return update(state, x0, cond, None, k, alpha_bar)
 
         def epoch_body(carry, inp):
             state, best_val, best = carry
