@@ -90,13 +90,15 @@ def gather_srv_data(prefix: str, directory: str = ".",
     which globs the CWD; here the directory is explicit so concurrent runs
     can use isolated workdirs — see SURVEY.md §5.2 on the race it removes).
     """
-    fnames = [f for f in os.listdir(directory)
-              if f.startswith(prefix) and f.endswith(".srv")]
+    # lexicographic pre-sort + stable time sort: equal time tokens get
+    # a deterministic order regardless of os.listdir / quicksort ties
+    fnames = sorted(f for f in os.listdir(directory)
+                    if f.startswith(prefix) and f.endswith(".srv"))
     if not fnames:
         raise FileNotFoundError(
             f"no '{prefix}*.srv' files in {directory!r}")
     times = [_srv_time(f, fmt) for f in fnames]
-    order = np.argsort(times)
+    order = np.argsort(times, kind="stable")
     paths = [os.path.join(directory, fnames[i]) for i in order]
     # C++ thread-pool batch parse (csrc/srv_reader.cpp); per-file /
     # numpy fallback preserves behavior when the extension is absent
@@ -132,12 +134,12 @@ def gather_srv_ensemble(directories, prefix: str,
     all_paths = []
     per_sim = None
     for d in dirs:
-        fnames = [f for f in os.listdir(d)
-                  if f.startswith(prefix) and f.endswith(".srv")]
+        fnames = sorted(f for f in os.listdir(d)
+                        if f.startswith(prefix) and f.endswith(".srv"))
         if not fnames:
             raise FileNotFoundError(f"no '{prefix}*.srv' files in {d!r}")
         times = [_srv_time(f, fmt) for f in fnames]
-        order = np.argsort(times)
+        order = np.argsort(times, kind="stable")
         paths = [os.path.join(d, fnames[i]) for i in order]
         if per_sim is None:
             per_sim = len(paths)
@@ -293,6 +295,11 @@ def prepare_dataset(sim_param: np.ndarray, ert_sim: np.ndarray,
         raw = sim_param.copy()
 
     n = raw.shape[0]
+    if ert_sim.shape[0] != n:
+        # a divisible-but-wrong leading dim would silently fit scalers
+        # on rows merging multiple simulations
+        raise ValueError(f"sim_param has {n} simulations but ert_sim has "
+                         f"{ert_sim.shape[0]}")
     if param_scaler is None:
         param_scaler = MinMaxScaler.fit(raw.reshape(n, -1), (a, b))
     scaled = param_scaler.transform(raw.reshape(n, -1)).reshape(raw.shape)
@@ -347,8 +354,14 @@ def batch_iterator(params_u: np.ndarray, conditions: np.ndarray,
 
 
 def _num_shards(sharding) -> int:
+    """Shard count along the sharded (batch) axes of `sharding` — NOT
+    the total device count: on a (data=4, model=2) mesh a P('data')
+    batch sharding has 4 shards (each replicated over 'model')."""
     try:
-        return int(np.prod([d for d in sharding.mesh.devices.shape]))
+        mesh_axes = dict(sharding.mesh.shape)
+        used = [ax for axes in sharding.spec if axes is not None
+                for ax in (axes if isinstance(axes, tuple) else (axes,))]
+        return int(np.prod([mesh_axes[ax] for ax in used])) or 1
     except AttributeError:
         return 1
 

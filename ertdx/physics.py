@@ -379,9 +379,15 @@ class ForwardModelRunner:
                 if isinstance(res, np.ndarray):
                     data[i] = res
                     failed[i] = False
+                    if self.manager:          # same bookkeeping as the
+                        self.manager.save_simulation_result(   # params path
+                            i, params[i], res)
                 else:
                     progress(f"WARNING: Simulation {i + 1}/{n} failed "
                              f"({res})")
+                    if self.manager:
+                        self.manager.save_failed_simulation(
+                            i, params[i], str(res))
             progress(f"Progress: {int(n - failed.sum())}/{n} completed")
         return params, data
 
@@ -429,8 +435,11 @@ def run_posterior_validation(runner: ForwardModelRunner,
         t0 = time.time()
         try:
             flat = runner.run_simulations_with_params_single(params, i)
-            sim_data = np.vstack(flat)
-            manager.save_simulation_result(i, params, sim_data)
+            # save the flat vector — the same shape the pool path saves
+            # (np.vstack produced (1, L) here vs (L,) there, and the
+            # most-common-shape re-ingest filter would silently discard
+            # whichever population was the minority)
+            manager.save_simulation_result(i, params, np.asarray(flat))
             completed.append(i)
             elapsed = time.time() - start
             eta = elapsed / (i + 1) * (total - i - 1)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import threading
+import warnings
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -45,6 +46,15 @@ class PosteriorService:
 
     def __init__(self, checkpoint_dir: str, cfg: ExperimentConfig,
                  max_batch: int = 8, mesh=None):
+        # the checkpoint's config echo wins over `cfg` for what was
+        # trained (arch, betas, EMA, sampler defaults) — otherwise the
+        # restore below adopts it internally but the serving model/
+        # weight selection here would disagree with the restored state
+        from .configs import experiment_from_dict
+        from .train import saved_config
+        saved = saved_config(checkpoint_dir)
+        if saved:
+            cfg = experiment_from_dict(saved, base=cfg)
         state, meta, scalers = load_best_model(checkpoint_dir, cfg)
         params = state.ema_params if (
             cfg.train.ema_decay > 0.0 and state.ema_params is not None
@@ -87,7 +97,9 @@ class PosteriorService:
         self.param_scaler = param_scaler
         self.ert_scaler = ert_scaler
         self.model = build_model(cfg.model)
-        self.schedule = get_diffusion_schedule(cfg.diffusion.T)
+        self.schedule = get_diffusion_schedule(
+            cfg.diffusion.T, cfg.diffusion.beta_start,
+            cfg.diffusion.beta_end)
         self.space = ParameterSpace()
         self._lock = threading.Lock()  # jit cache + device arrays
 
@@ -106,6 +118,9 @@ class PosteriorService:
         b = ert.shape[0]
         if b > self.max_batch:
             raise ValueError(f"batch {b} exceeds max_batch {self.max_batch}")
+        # the service's configured sampler is the default — scfg=None
+        # must not silently fall back to the GLOBAL ancestral defaults
+        scfg = scfg if scfg is not None else self.cfg.sample
         cond = self._scale_conditions(ert)
         if b < self.max_batch:                      # static-shape padding
             pad = np.zeros((self.max_batch - b,) + cond.shape[1:],
@@ -118,12 +133,28 @@ class PosteriorService:
                 scfg=scfg, mesh=self.mesh)
         phys, mask = inverse_pipeline(np.asarray(u)[:, :b],
                                       self.param_scaler, space=self.space)
+        # statistics over VALID draws only (the reference drops
+        # out-of-bounds rows before analyzing, ERT_Conditional_
+        # Diffusion.py:406-410); conditions with zero valid draws fall
+        # back to all-draw stats (their valid_fraction exposes it)
+        draws = np.where(mask[:, :, None], phys, np.nan)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            stats = {"mean": np.nanmean(draws, axis=0),
+                     "std": np.nanstd(draws, axis=0),
+                     "p25": np.nanpercentile(draws, 25, axis=0),
+                     "p50": np.nanpercentile(draws, 50, axis=0),
+                     "p75": np.nanpercentile(draws, 75, axis=0)}
+        raw = {"mean": phys.mean(axis=0), "std": phys.std(axis=0),
+               "p25": np.percentile(phys, 25, axis=0),
+               "p50": np.percentile(phys, 50, axis=0),
+               "p75": np.percentile(phys, 75, axis=0)}
+        none_valid = ~mask.any(axis=0)                 # (B,)
+        for k, v in stats.items():
+            if none_valid.any():
+                v[none_valid] = raw[k][none_valid]
         out = {
-            "mean": phys.mean(axis=0).tolist(),
-            "std": phys.std(axis=0).tolist(),
-            "p25": np.percentile(phys, 25, axis=0).tolist(),
-            "p50": np.percentile(phys, 50, axis=0).tolist(),
-            "p75": np.percentile(phys, 75, axis=0).tolist(),
+            **{k: v.tolist() for k, v in stats.items()},
             "valid_fraction": float(mask.mean()),
             "n_realizations": int(n_realizations),
             "param_names": list(self.space.names),
@@ -148,17 +179,19 @@ _SAMPLER_KEYS = ("sampler", "ddim_steps", "ddim_eta", "dpmpp_steps",
                  "guidance_scale", "temperature")
 
 
+_SAMPLER_CASTS = {"sampler": str, "ddim_steps": int, "ddim_eta": float,
+                  "dpmpp_steps": int, "guidance_scale": float,
+                  "temperature": float}
+
+
 def scfg_from_request(req: dict) -> Optional[SampleConfig]:
-    """SampleConfig from a /posterior JSON body; None = service default."""
-    if not any(k in req for k in _SAMPLER_KEYS):
-        return None
-    return SampleConfig(
-        sampler=req.get("sampler", "ancestral"),
-        ddim_steps=int(req.get("ddim_steps", 50)),
-        ddim_eta=float(req.get("ddim_eta", 0.0)),
-        dpmpp_steps=int(req.get("dpmpp_steps", 15)),
-        guidance_scale=float(req.get("guidance_scale", 1.0)),
-        temperature=float(req.get("temperature", 1.0)))
+    """SampleConfig from a /posterior JSON body; None = service default.
+
+    Unspecified fields take the SampleConfig dataclass defaults (no
+    re-hardcoded copies to drift)."""
+    given = {k: _SAMPLER_CASTS[k](req[k]) for k in _SAMPLER_KEYS
+             if k in req}
+    return SampleConfig(**given) if given else None
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -133,3 +133,18 @@ def test_srv_bad_filename_clear_error(tmp_path):
     with pytest.raises(ValueError, match="time token"):
         data_lib.gather_srv_data("noformat", str(tmp_path),
                                  SrvFormat(skip_header=1, usecols=5))
+
+
+def test_num_shards_counts_batch_axis_only():
+    """On a (data=4, model=2) mesh, a P('data') batch sharding has 4
+    shards — gating host-side sharding on the total device count (8)
+    wrongly bypassed the sharded feed for batches divisible by 4 only."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ertdx.data import _num_shards
+    from ertdx.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=4, model=2)
+    assert _num_shards(NamedSharding(mesh, PartitionSpec("data"))) == 4
+    assert _num_shards(NamedSharding(mesh, PartitionSpec(None))) == 1
+    assert _num_shards(None) == 1
