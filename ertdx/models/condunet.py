@@ -135,14 +135,18 @@ class SelfAttention1D(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         lp = _pad_len(l)
-        if lp != l:
+        pallas_ok = self.use_pallas and lp >= self.pallas_min_len
+        if pallas_ok and lp != l:
+            # pad ONLY for the Pallas kernel: the XLA fallback (the
+            # default encoder path at l < pallas_min_len) runs on the
+            # raw length — padding first cost ~(lp/l)^2 extra logit/
+            # softmax work on every train step
             pad = ((0, 0), (0, 0), (0, lp - l), (0, 0))
             q = jnp.pad(q, pad)
             k = jnp.pad(k, pad)
             v = jnp.pad(v, pad)
             base = mask if mask is not None else jnp.ones((b, l))
             mask = jnp.pad(base, ((0, 0), (0, lp - l)))
-        pallas_ok = self.use_pallas and lp >= self.pallas_min_len
         out = flash_attention(q, k, v, mask, pallas_ok)
         out = out[:, :, :l, :].transpose(0, 2, 1, 3).reshape(b, l, c)
         return x + nn.Dense(c, dtype=self.dtype)(out)

@@ -29,11 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.core_block import (fused_core_block, fused_core_stack,
+from ..ops.core_block import (_ln, fused_core_block, fused_core_stack,
                               pick_block_chunk, pick_stack_outer)
 from .common import get_timestep_embedding
-
-_LN_EPS = 1e-6   # flax nn.LayerNorm default
 
 # engage the fused-core path only above this TOTAL chain count
 # (n_realizations x condition batch). Measured DDIM-50 sweep on the chip
@@ -194,11 +192,9 @@ def mega_denoise_ensemble(params, x, t, cond_ctx, n_real: int, *, p: int,
                               accurate=accurate, interpret=interpret)
 
     tokens = x3.reshape(n, p, d)
-    mu = jnp.mean(tokens, axis=-1, keepdims=True)
-    dev = tokens - mu
-    var = jnp.mean(dev * dev, axis=-1, keepdims=True)
-    tokens = (dev * jax.lax.rsqrt(var + _LN_EPS)
-              * params["out_norm"]["scale"] + params["out_norm"]["bias"])
+    # the SAME _ln as the fused kernels — one copy of the eps/formula
+    tokens = (_ln(tokens) * params["out_norm"]["scale"]
+              + params["out_norm"]["bias"])
     return (tokens @ params["head"]["kernel"]
             + params["head"]["bias"])[..., 0]
 

@@ -6,7 +6,7 @@ intermediates per reverse step, but replacing ONLY the attention ops with
 Pallas was 0.62x end-to-end — the pallas_call boundary broke XLA's fusion
 of the surrounding projections, and per-kernel XLA was already at its
 padded-softmax floor. This kernel moves the boundary to the whole
-CoreBlock (ertdx/models/condunet.py:219-307): AdaLN -> block-diagonal
+CoreBlock (ertdx/models/condunet.py::CoreBlock): AdaLN -> block-diagonal
 self-attention -> AdaLN -> folded cross-attention -> AdaLN -> MLP, all
 three residual adds included, so per block the HBM traffic is exactly
 x-in + x-out + (weights + per-condition K/V, fetched once — their
@@ -171,7 +171,12 @@ def chunk_candidates(n_real: int, p: int) -> list:
     cap_small = min(MAX_SINGLE_TILE, max(1, 384 // p))
     div = [c for c in range(1, n_real + 1) if n_real % c == 0]
     eights = [c for c in div if c % 8 == 0 and c <= cap8]
-    smalls = [c for c in div if c % 8 and c <= cap_small]
+    # small tiles must still fill an MXU-worth of rows (c*p >= 128) OR
+    # cover the whole chunk in one tile (small R); without this floor,
+    # awkward R (e.g. prime) degenerated to c=1 — 29-row tiles, an
+    # order of magnitude slower than the XLA path the gate should pick
+    smalls = [c for c in div if c % 8 and c <= cap_small
+              and (c * p >= 128 or c == n_real)]
     return sorted(eights, reverse=True) + sorted(smalls, reverse=True)
 
 

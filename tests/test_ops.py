@@ -480,3 +480,18 @@ def test_mega_plan_vmem_gate(monkeypatch):
     # working reference configs stay inside the budget
     assert pick_chunk(1000, 512) == 1
     assert stack_vmem_bytes(29, 128, 4, 147, 1000) <= _CORE_VMEM_BUDGET
+
+
+def test_chunk_candidates_min_tile_floor():
+    """Awkward realization counts (prime R, tiny divisors only) must
+    yield NO fused-path candidate instead of a degenerate 1-chain tile
+    (29-row programs, an order slower than the XLA fallback)."""
+    from ertdx.ops.core_block import chunk_candidates, pick_chunk
+
+    assert chunk_candidates(997, 29) == []          # prime R -> XLA
+    assert pick_chunk(997, 29) == 0
+    # whole-chunk small tiles still allowed (the reference's R=50 -> 10)
+    assert pick_chunk(50, 29) == 10
+    assert pick_chunk(12, 29) == 12                 # whole chunk, small R
+    # 8-divisible tiles unaffected
+    assert pick_chunk(32, 29) % 8 == 0
