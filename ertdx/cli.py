@@ -68,6 +68,19 @@ def _load_cfg(args, adopt_checkpoint: bool = False
     return cfg
 
 
+def _split_seed(args, cfg) -> int:
+    """The train/val/test split is pinned to the TRAIN-TIME seed from the
+    checkpoint echo — --seed must only vary the sampling randomness.
+    Overriding the split seed would silently leak trained-on rows into
+    the evaluation split (optimistic UQ)."""
+    if getattr(args, "checkpoint_dir", None):
+        from .train import saved_config
+        saved = saved_config(args.checkpoint_dir)
+        if saved and "seed" in saved.get("train", {}):
+            return int(saved["train"]["seed"])
+    return cfg.train.seed
+
+
 def cmd_generate_design(args) -> int:
     import warnings
 
@@ -213,7 +226,7 @@ def cmd_sample(args) -> int:
     ds = data_lib.prepare_dataset(sim_param, ert,
                                   param_scaler=scalers.get("param_scaler"),
                                   ert_scaler=scalers.get("ert_scaler"))
-    _, _, test_idx = data_lib.split_dataset(len(ds), cfg.train.seed,
+    _, _, test_idx = data_lib.split_dataset(len(ds), _split_seed(args, cfg),
                                             cfg.train.split)
     model = build_model(cfg.model)
     sch = get_diffusion_schedule(cfg.diffusion.T, cfg.diffusion.beta_start,
@@ -237,15 +250,18 @@ def cmd_sample(args) -> int:
         scfg = dataclasses.replace(scfg, **overrides)
     pred, mask = posterior_over_dataset(
         model, sample_params, ds.conditions[test_idx], sch,
-        jax.random.key(args.seed or cfg.train.seed), ds.param_scaler,
+        jax.random.key(args.seed if args.seed is not None
+                       else cfg.train.seed), ds.param_scaler,
         n_realizations=args.realizations, batch_size=cfg.train.batch_size,
-        scfg=scfg, mesh=mesh)
+        scfg=scfg, mesh=mesh,
+        a=ds.a, b=ds.b)
     np.save(args.out, pred)
     np.save(Path(args.out).with_name("valid_mask.npy"), mask)
     # true params for UQ comparison
     from .transforms import inverse_transform
     true = ds.param_scaler.inverse(
-        inverse_transform(ds.params_u[test_idx].astype(np.float64)))
+        inverse_transform(ds.params_u[test_idx].astype(np.float64),
+                          ds.a, ds.b))
     np.save(Path(args.out).with_name("true_params.npy"), true)
     print(f"wrote {args.out} {pred.shape}; valid fraction "
           f"{mask.mean():.3f}")
@@ -268,22 +284,42 @@ def cmd_calibrate(args) -> int:
     ds = data_lib.prepare_dataset(sim_param, ert,
                                   param_scaler=scalers.get("param_scaler"),
                                   ert_scaler=scalers.get("ert_scaler"))
-    _, val_idx, _ = data_lib.split_dataset(len(ds), cfg.train.seed,
+    _, val_idx, _ = data_lib.split_dataset(len(ds), _split_seed(args, cfg),
                                            cfg.train.split)
     model = build_model(cfg.model)
     sch = get_diffusion_schedule(cfg.diffusion.T, cfg.diffusion.beta_start,
                                  cfg.diffusion.beta_end)
     true_phys = ds.param_scaler.inverse(
-        inverse_transform(ds.params_u[val_idx].astype(np.float64)))
+        inverse_transform(ds.params_u[val_idx].astype(np.float64),
+                          ds.a, ds.b))
+    cal_params = state.params
+    if getattr(args, "ema", False):
+        # calibrate on the SAME weights sample-time will use
+        if state.ema_params is None:
+            raise SystemExit(
+                "--ema: this checkpoint has no EMA parameters; train "
+                "with --ema-decay > 0 first")
+        cal_params = state.ema_params
     scfg = cfg.sample
+    overrides = {}
     if args.sampler:
-        scfg = dataclasses.replace(scfg, sampler=args.sampler)
+        overrides["sampler"] = args.sampler
+    if getattr(args, "steps", None) is not None:
+        overrides["ddim_steps"] = args.steps
+        overrides["dpmpp_steps"] = args.steps
+    if getattr(args, "eta", None) is not None:
+        overrides["ddim_eta"] = args.eta
+    if getattr(args, "guidance", None) is not None:
+        overrides["guidance_scale"] = args.guidance
+    if overrides:
+        scfg = dataclasses.replace(scfg, **overrides)
     best, records = calibrate_temperature(
-        model, state.params, ds.conditions[val_idx], true_phys, sch,
-        jax.random.key(args.seed or cfg.train.seed), ds.param_scaler,
+        model, cal_params, ds.conditions[val_idx], true_phys, sch,
+        jax.random.key(args.seed if args.seed is not None
+                       else cfg.train.seed), ds.param_scaler,
         temperatures=[float(t) for t in args.temps.split(",") if t],
         objective=args.objective, n_realizations=args.realizations,
-        batch_size=cfg.train.batch_size, scfg=scfg)
+        batch_size=cfg.train.batch_size, scfg=scfg, a=ds.a, b=ds.b)
     print(json.dumps({"best_temperature": best, "objective": args.objective,
                       "records": records}, indent=2))
     if args.out:
@@ -504,6 +540,14 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["goodness", "accuracy", "precision"])
     ca.add_argument("--sampler", choices=["ancestral", "ddim", "dpmpp"],
                     default=None)
+    ca.add_argument("--steps", type=int, default=None,
+                    help="subsequence sampler step budget (as at sample "
+                         "time)")
+    ca.add_argument("--eta", type=float, default=None)
+    ca.add_argument("--guidance", type=float, default=None,
+                    help="CFG scale to calibrate under")
+    ca.add_argument("--ema", action="store_true",
+                    help="calibrate on the EMA weights (as sampled)")
     ca.add_argument("--realizations", type=int, default=50)
     ca.add_argument("--uncond-prob", type=float, default=None,
                     help="the checkpoint's training value (restore "

@@ -70,7 +70,9 @@ class ParameterSampler:
         log_mu = np.log10(safe_means)
         # reference rule: sd = |log10(mean) * psdev / mean|
         # (Generate_ERT_utils.py:183)
-        log_sd = np.where(islog, np.abs(log_mu * psdevs / pmeans), 0.0)
+        # safe denominator mirrors safe_means: the discarded linear
+        # branch must not emit divide-warnings (or raise under seterr)
+        log_sd = np.where(islog, np.abs(log_mu * psdevs / safe_means), 0.0)
 
         mod_in = np.zeros((nmods, d))
         mod_in[0] = pmeans
@@ -93,7 +95,9 @@ class ParameterSampler:
             draw = np.where(islog[idx[1]], logd, lin)
             vals[idx] = draw
             failed[idx] = ~((draw > lo[idx[1]]) & (draw < hi[idx[1]]))
-        else:
+        # check AFTER the final attempt: a run that converges exactly on
+        # attempt max_attempts is a success, not a failure
+        if failed.any():
             raise RuntimeError(
                 "build_mod_in: rejection sampling did not converge within "
                 f"{max_attempts} attempts; check psdevs vs bounds")

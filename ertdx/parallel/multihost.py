@@ -69,11 +69,24 @@ def global_batch(mesh, *arrays: np.ndarray):
     leading axis is sharded over 'data' across all hosts.
     """
     sh = batch_sharding(mesh)
-    out = tuple(
-        jax.make_array_from_process_local_data(
-            sh, np.asarray(a),
-            (a.shape[0] * jax.process_count(),) + tuple(a.shape[1:]))
-        for a in arrays)
+    n_proc = jax.process_count()
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        # every process must contribute the SAME row count: a ragged
+        # last shard would make hosts disagree on the global shape and
+        # fail (or hang) deep inside the runtime — fail loudly here.
+        # (The feed helpers pad ragged tails; see data.pad_batch.)
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+            counts = np.asarray(multihost_utils.process_allgather(
+                np.asarray(a.shape[0]))).ravel().tolist()
+            if len(set(counts)) > 1:
+                raise ValueError(
+                    f"global_batch: uneven per-process rows {counts}; "
+                    "pad local shards to a common size (data.pad_batch)")
+        out.append(jax.make_array_from_process_local_data(
+            sh, a, (a.shape[0] * n_proc,) + tuple(a.shape[1:])))
     return out[0] if len(out) == 1 else out
 
 

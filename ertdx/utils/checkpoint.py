@@ -14,6 +14,7 @@ orbax-backed variant for async/multi-host use.
 """
 from __future__ import annotations
 
+import io
 import json
 import os
 from pathlib import Path
@@ -25,20 +26,37 @@ from flax import serialization
 from ..transforms import MinMaxScaler
 
 
+def _atomic_write(path: Path, data: bytes) -> None:
+    """Write via a same-dir temp file + os.replace: a crash/preemption
+    mid-save must not destroy the previous good checkpoint file."""
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(ckpt_dir, state, meta: Dict[str, Any],
                     scalers: Optional[Dict[str, MinMaxScaler]] = None
                     ) -> None:
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    (ckpt_dir / "state.msgpack").write_bytes(serialization.to_bytes(state))
-    with open(ckpt_dir / "meta.json", "w") as f:
-        json.dump(meta, f, indent=2, default=_json_default)
+    _atomic_write(ckpt_dir / "state.msgpack",
+                  serialization.to_bytes(state))
+    _atomic_write(ckpt_dir / "meta.json",
+                  json.dumps(meta, indent=2,
+                             default=_json_default).encode())
+    sc_path = ckpt_dir / "scalers.npz"
     if scalers:
         arrays = {}
         for name, sc in scalers.items():
             for k, v in sc.state_dict().items():
                 arrays[f"{name}.{k}"] = v
-        np.savez(ckpt_dir / "scalers.npz", **arrays)
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        _atomic_write(sc_path, buf.getvalue())
+    elif sc_path.exists():
+        # a re-save without scalers must not leave a STALE scalers.npz
+        # to pair with the new state on restore
+        sc_path.unlink()
 
 
 def restore_checkpoint(ckpt_dir, state_template

@@ -369,3 +369,21 @@ def test_log_every_zero_disables_logging(tiny_dataset, tmp_path):
                                            epochs_per_dispatch=k))
         res = train(cfg, tiny_dataset)
         assert np.isfinite(res.train_history).all()
+
+
+def test_sample_seed_does_not_move_the_split(tiny_dataset, tmp_path):
+    """--seed on restore commands varies only the sampling key: the
+    train/val/test split stays pinned to the TRAIN-TIME seed from the
+    checkpoint echo (a moved split leaks trained rows into 'test')."""
+    import argparse
+
+    from ertdx.cli import _load_cfg, _split_seed
+
+    cfg = _cfg(tmp_path, seed=42)
+    train(cfg, tiny_dataset)
+    args = argparse.Namespace(preset="ref_default",
+                              checkpoint_dir=cfg.train.checkpoint_dir,
+                              seed=7)
+    got = _load_cfg(args, adopt_checkpoint=True)
+    assert got.train.seed == 7                 # sampling key seed
+    assert _split_seed(args, got) == 42        # split seed: train-time
