@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .groupnorm import reference_groupnorm_silu
+from .groupnorm import reference_groupnorm_silu, group_onehot
 
 
 def reference_gn_silu_conv3(x, gamma, beta, w, bias, num_groups: int,
@@ -52,9 +52,7 @@ def _gn_silu_conv3_kernel(x_ref, gamma_ref, beta_ref, w_ref, b_ref, o_ref,
     l, c = x.shape
     g = num_groups
     cg = c // g
-    col_group = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0) // cg
-    group_ids = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
-    onehot = (col_group == group_ids).astype(jnp.float32)  # (C, G)
+    onehot = group_onehot(c, g)                            # (C, G)
 
     n = float(l * cg)
     sums = jnp.sum(x, axis=0, keepdims=True)                # (1, C)
@@ -119,9 +117,7 @@ def _gn_silu_conv3_bwd_kernel(x_ref, gamma_ref, beta_ref, w_ref, g_ref,
     l, c = x.shape
     gn = num_groups
     cg = c // gn
-    col_group = jax.lax.broadcasted_iota(jnp.int32, (c, gn), 0) // cg
-    group_ids = jax.lax.broadcasted_iota(jnp.int32, (c, gn), 1)
-    onehot = (col_group == group_ids).astype(jnp.float32)
+    onehot = group_onehot(c, gn)
     n = float(l * cg)
 
     def gmean(row_c):
@@ -238,6 +234,11 @@ def gn_silu_conv3(x, gamma, beta, w, bias, num_groups: int,
     Forward and backward both run fused Pallas kernels on TPU (XLA
     reference composition elsewhere).
     """
+    if x.shape[-1] % num_groups:
+        # same guard as ops/groupnorm.py: the in-kernel one-hot group
+        # map silently mishandles non-dividing channel counts
+        raise ValueError(f"channels {x.shape[-1]} not divisible by "
+                         f"num_groups {num_groups}")
     return _conv_fwd(x, gamma, beta, w, bias, num_groups, eps,
                      use_pallas)[0]
 

@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import reference_attention
+from .attention import _ceil_to, reference_attention
 
 _NEG_INF = -1e30
 _PREC = jax.lax.Precision.DEFAULT
@@ -65,11 +65,19 @@ _SELF_VMEM_BYTES = 6 * 2 ** 20
 
 
 def _self_groups_per_program(n_chains: int, p: int, d: int) -> int:
-    """How many 8-chain chunks one program processes (static grid math)."""
+    """How many 8-chain chunks one program processes (static grid math).
+
+    0 = nothing fits -> callers fall back to XLA. The working set per
+    program is the q/k/v/out chunk slabs PLUS the (8p, 8p) f32 logit
+    tile (which dominates for large p) — a fail-OPEN estimate here used
+    to dispatch kernels that died in VMEM allocation on hardware."""
     if n_chains % _CHUNK_CHAINS:
         return 0
-    chunk_bytes = 4 * (_CHUNK_CHAINS * p * d) * 4   # q,k,v,out slabs, f32
-    g_cap = max(1, _SELF_VMEM_BYTES // chunk_bytes)
+    rows = _CHUNK_CHAINS * p
+    chunk_bytes = 4 * (rows * d) * 4 + rows * rows * 4  # slabs + logits
+    if chunk_bytes > _SELF_VMEM_BYTES:
+        return 0
+    g_cap = _SELF_VMEM_BYTES // chunk_bytes
     g = 1
     total = n_chains // _CHUNK_CHAINS
     for cand in range(1, min(g_cap, total) + 1):
@@ -162,6 +170,12 @@ block_self_attention.defvjp(_bsa_fwd, _bsa_bwd)
 
 
 def block_self_attention_interpret(q, k, v):
+    if _self_groups_per_program(q.shape[0], q.shape[1], q.shape[2]) == 0:
+        raise ValueError(
+            f"block_self_attention needs 8-divisible chain counts within "
+            f"the VMEM budget; got n={q.shape[0]}, p={q.shape[1]}, "
+            f"d={q.shape[2]} (production callers gate via "
+            "block_self_attention_ok)")
     """Interpreter-mode kernel run (CPU parity tests)."""
     return _block_self_forward(q, k, v, interpret=True)
 
@@ -200,7 +214,7 @@ def _folded_cross_forward(q, k, v, interpret: bool = False):
     b, lq, d = q.shape
     lk = k.shape[1]
     bq = _cross_block_q(lq)
-    lkp = -(-lk // 128) * 128
+    lkp = _ceil_to(lk, 128)
     if lkp != lk:
         k = jnp.pad(k, ((0, 0), (0, lkp - lk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lkp - lk), (0, 0)))
@@ -234,8 +248,14 @@ def _cross_reference(q, k, v):
 
 
 def folded_cross_attention_ok(b: int, lq: int, lk: int, d: int) -> bool:
+    bq = _cross_block_q(lq)
+    if bq <= 0:
+        return False
+    lkp = _ceil_to(lk, 128)
+    # per-program working set: K+V slabs + q/out blocks + logit tile
+    vmem = (2 * lkp * d + 2 * bq * d + bq * lkp) * 4
     return (jax.default_backend() == "tpu" and d % 128 == 0
-            and _cross_block_q(lq) > 0)
+            and vmem <= _SELF_VMEM_BYTES)
 
 
 @jax.custom_vjp

@@ -34,6 +34,16 @@ def reference_groupnorm_silu(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     return (y * jax.nn.sigmoid(y)).astype(x.dtype)
 
 
+def group_onehot(c: int, g: int):
+    """(C, G) one-hot group map. Mosaic cannot reshape (L, C) ->
+    (L, G, C/G) in-kernel, so group statistics run as matmuls against
+    this map — THE one copy shared by the GN and fused-conv kernels."""
+    cg = c // g
+    col_group = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0) // cg
+    group_ids = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+    return (col_group == group_ids).astype(jnp.float32)
+
+
 def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, num_groups: int,
                     eps: float):
     """Group stats via 2-D matmuls with a one-hot (C, G) group map —
@@ -42,9 +52,7 @@ def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, num_groups: int,
     l, c = x.shape
     g = num_groups
     cg = c // g
-    col_group = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0) // cg
-    group_ids = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
-    onehot = (col_group == group_ids).astype(jnp.float32)  # (C, G)
+    onehot = group_onehot(c, g)                            # (C, G)
 
     n = float(l * cg)
     # two-pass variance: E[(x - mean)^2] avoids the f32 cancellation of
@@ -100,9 +108,7 @@ def _gn_silu_bwd_kernel(x_ref, gamma_ref, beta_ref, g_ref, dx_ref,
     l, c = x.shape
     gn = num_groups
     cg = c // gn
-    col_group = jax.lax.broadcasted_iota(jnp.int32, (c, gn), 0) // cg
-    group_ids = jax.lax.broadcasted_iota(jnp.int32, (c, gn), 1)
-    onehot = (col_group == group_ids).astype(jnp.float32)  # (C, G)
+    onehot = group_onehot(c, gn)                           # (C, G)
     n = float(l * cg)
 
     def gmean(row_c):  # (1, C) -> per-group mean broadcast back to (1, C)
@@ -167,6 +173,12 @@ def _gn_silu_backward(x, gamma, beta, g, num_groups, eps, interpret=False):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def groupnorm_silu(x, gamma, beta, num_groups: int, eps: float = 1e-5,
                    use_pallas: bool = True):
+    if x.shape[-1] % num_groups:
+        # the one-hot group map silently leaves trailing channels
+        # groupless in-kernel (mean 0, rstd 0 -> silu(beta)) where the
+        # XLA reference reshape raises — same error on every backend
+        raise ValueError(f"channels {x.shape[-1]} not divisible by "
+                         f"num_groups {num_groups}")
     return _gn_fwd(x, gamma, beta, num_groups, eps, use_pallas)[0]
 
 

@@ -43,7 +43,12 @@ def _finish(fig, path: Optional[str]):
 
 def _gaussian_kde_curve(x: np.ndarray, grid_points: int = 256):
     x = np.asarray(x, float).ravel()
-    h = max(x.std(ddof=1) * x.size ** (-0.2), 1e-12)
+    h = x.std(ddof=1) * x.size ** (-0.2) if x.size > 1 else np.nan
+    if not np.isfinite(h) or h <= 0:
+        # single sample / zero variance: std(ddof=1) is NaN (or 0) and
+        # the curve silently rendered as nothing — draw a narrow spike
+        # at the value instead
+        h = max(abs(x[0]) * 1e-3, 1e-6)
     lo, hi = x.min() - 3 * h, x.max() + 3 * h
     g = np.linspace(lo, hi, grid_points)
     z = (g[:, None] - x[None, :]) / h
