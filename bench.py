@@ -408,8 +408,35 @@ def _sample_flops(model_name: str, n_real: int, steps: int) -> float:
     return f_enc + steps * f_den
 
 
+def _backend_alive(timeout_s: float = 300.0) -> bool:
+    """Compile+run a trivial op under a watchdog thread. On this host the
+    remote TPU backend can initialize but hang at compile (tunnel
+    outage); bench must emit its JSON line instead of hanging the
+    driver. 300 s covers a slow first compile with a wide margin."""
+    import threading
+    done = []
+
+    def probe():
+        x = jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128)))
+        done.append(float(x))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(done)
+
+
 def main() -> int:
     backend = jax.default_backend()
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": "U-Net denoiser (CondUNet) train steps/sec/chip, "
+                      "ref grid",
+            "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
+            "backend": backend,
+            "error": "backend unresponsive: trivial jitted op did not "
+                     "complete within 300 s (tunnel/compile hang)"}))
+        return 0
     baseline = _baseline_steps_per_sec()
     peak = _peak_flops()
 
