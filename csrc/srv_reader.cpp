@@ -20,6 +20,15 @@
 #include <functional>
 #include <thread>
 #include <vector>
+#include <locale.h>
+
+// strtod is LC_NUMERIC-sensitive: a host setlocale(LC_ALL, "") under a
+// comma-decimal locale would silently mis-parse every value. Parse with
+// an explicit "C" locale instead (np.genfromtxt is locale-independent).
+static locale_t c_locale() {
+    static locale_t loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+    return loc;
+}
 
 static int64_t run_pool(int64_t n_files, int64_t n_threads,
                      const std::function<int64_t(int64_t)>& job) {
@@ -55,15 +64,27 @@ static inline const char* skip_ws(const char* p) {
     return p;
 }
 
+// 1 = complete line (newline-terminated or final line at EOF);
+// 0 = the 64 KiB buffer split a longer physical line — treating the
+// chunks as separate lines would corrupt skip_header accounting AND
+// row parsing identically in count+read (no mismatch to catch it), so
+// callers must fail the file instead.
+static inline int line_complete(const char* buf, FILE* f) {
+    size_t len = std::strlen(buf);
+    return (len && buf[len - 1] == '\n') || std::feof(f);
+}
+
 int64_t srv_count_rows(const char* path, int64_t skip_header) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
     int64_t rows = 0, line = 0;
     char buf[1 << 16];
     while (std::fgets(buf, sizeof buf, f)) {
+        if (!line_complete(buf, f)) { std::fclose(f); return -2; }
         if (line++ < skip_header) continue;
         const char* p = skip_ws(buf);
-        if (*p && *p != '\n') ++rows;
+        // '#' comment lines are skipped (np.genfromtxt's default)
+        if (*p && *p != '\n' && *p != '#') ++rows;
     }
     std::fclose(f);
     return rows;
@@ -76,9 +97,10 @@ int64_t srv_read_column(const char* path, int64_t skip_header, int64_t usecols,
     int64_t line = 0, n = 0;
     char buf[1 << 16];
     while (std::fgets(buf, sizeof buf, f)) {
+        if (!line_complete(buf, f)) { std::fclose(f); return -2; }
         if (line++ < skip_header) continue;
         const char* p = skip_ws(buf);
-        if (!*p || *p == '\n') continue;
+        if (!*p || *p == '\n' || *p == '#') continue;
         // advance to column `usecols` (0-based)
         for (int64_t c = 0; c < usecols; ++c) {
             while (*p && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r')
@@ -87,7 +109,7 @@ int64_t srv_read_column(const char* path, int64_t skip_header, int64_t usecols,
             if (!*p || *p == '\n') { std::fclose(f); return -2; }
         }
         char* end = nullptr;
-        double v = std::strtod(p, &end);
+        double v = strtod_l(p, &end, c_locale());
         if (end == p) { std::fclose(f); return -2; }
         if (n >= max_rows) { std::fclose(f); return -2; }
         out[n++] = v;

@@ -103,8 +103,16 @@ def gather_srv_data(prefix: str, directory: str = ".",
     # C++ thread-pool batch parse (csrc/srv_reader.cpp); per-file /
     # numpy fallback preserves behavior when the extension is absent
     from .utils import srv_native
-    batch = srv_native.read_srv_batch(paths, fmt.skip_header, fmt.usecols)
-    if batch is not None:
+    res = srv_native.read_srv_batch(paths, fmt.skip_header, fmt.usecols,
+                                    return_counts=True)
+    if res is not None:
+        batch, counts = res
+        if len(set(counts.tolist())) > 1:
+            # match the numpy fallback, where np.array(ragged) raises —
+            # the fast path must not silently shift rows across surveys
+            raise ValueError(
+                f"ragged .srv files in {directory!r}: per-file rows "
+                f"{sorted(set(counts.tolist()))}")
         return batch
     data = [read_srv_file(p, fmt) for p in paths]
     return np.array(data).flatten()

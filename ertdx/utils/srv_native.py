@@ -33,6 +33,19 @@ def _load():
         lib.srv_read_column.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        if hasattr(lib, "srv_count_batch"):
+            lib.srv_count_batch.restype = ctypes.c_int64
+            lib.srv_count_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64]
+            lib.srv_read_batch.restype = ctypes.c_int64
+            lib.srv_read_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -63,26 +76,17 @@ def read_srv_column(path: str, skip_header: int,
 
 
 def read_srv_batch(paths, skip_header: int, usecols: int,
-                   return_counts: bool = False) -> Optional[np.ndarray]:
+                   return_counts: bool = False):
     """Parse MANY files with the C++ thread pool; returns the flat
-    concatenation of every file's column (file order preserved), or None
-    to signal the per-file/numpy fallback. return_counts=True returns
-    (flat, per-file row counts) so callers can validate shape uniformity."""
+    concatenation of every file's column (file order preserved) — or
+    (flat, per-file row counts) with return_counts=True so callers can
+    validate shape uniformity. None signals the per-file/numpy fallback.
+    Prototypes are declared once in _load()."""
     lib = _load()
     if lib is None or not paths:
         return None
     if not hasattr(lib, "srv_count_batch"):      # stale .so: rebuild csrc
         return None
-    lib.srv_count_batch.restype = ctypes.c_int64
-    lib.srv_count_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
-    lib.srv_read_batch.restype = ctypes.c_int64
-    lib.srv_read_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64]
 
     n = len(paths)
     enc = [str(p).encode() for p in paths]

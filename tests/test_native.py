@@ -124,3 +124,33 @@ def test_gather_srv_ensemble(tmp_path, native):
     _write(dirs[1] / "job-E1-10d.srv", header=2, rows=10)   # 10,11,11
     with pytest.raises(ValueError, match="row counts"):
         gather_srv_ensemble(dirs[:2], "job", fmt)
+
+
+def test_comment_lines_match_genfromtxt(tmp_path, native):
+    """Post-header '#' comment lines are skipped exactly like
+    np.genfromtxt's default (a numeric-looking comment was a phantom
+    row once)."""
+    p = tmp_path / "c.srv"
+    with open(p, "w") as f:
+        f.write("# header\n# header\n")
+        f.write("0.1 0.2 0.3 0.4 0.5 1.25 0.7\n")
+        f.write("# 0 1 2 3 4 5 6\n")          # numeric-looking comment
+        f.write("0.1 0.2 0.3 0.4 0.5 2.5 0.7\n")
+    got = native.read_srv_column(str(p), 2, 5)
+    ref = np.atleast_1d(np.genfromtxt(p, skip_header=2, usecols=5))
+    np.testing.assert_array_equal(got, ref)
+    assert list(got) == [1.25, 2.5]
+
+
+def test_overlong_line_falls_back(tmp_path, native):
+    """A physical line longer than the parser's 64 KiB buffer must fail
+    the fast path (fallback), never silently split into phantom rows."""
+    p = tmp_path / "long.srv"
+    with open(p, "w") as f:
+        f.write("# h\n# h\n")
+        f.write("0 1 2 3 4 5.5 " + "9 " * 40000 + "\n")   # ~80 KB line
+        f.write("0 1 2 3 4 6.5 7\n")
+    assert native.read_srv_column(str(p), 2, 5) is None   # -> numpy path
+    from ertdx.data import SrvFormat, read_srv_file
+    out = read_srv_file(str(p), SrvFormat(skip_header=2, usecols=5))
+    np.testing.assert_array_equal(out, [5.5, 6.5])
