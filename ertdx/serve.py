@@ -36,6 +36,33 @@ from .sample import inverse_pipeline, posterior_ensemble
 from .train import load_best_model
 
 
+def masked_posterior_stats(phys: np.ndarray, mask: np.ndarray) -> dict:
+    """Summary statistics over VALID draws only.
+
+    The reference drops out-of-bounds rows before analyzing
+    (ERT_Conditional_Diffusion.py:406-410); serving must not bias
+    mean/percentiles with physically-invalid draws. Conditions with zero
+    valid draws fall back to all-draw stats (their valid_fraction
+    exposes it). phys: (R, B, P); mask: (R, B)."""
+    draws = np.where(mask[:, :, None], phys, np.nan)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        stats = {"mean": np.nanmean(draws, axis=0),
+                 "std": np.nanstd(draws, axis=0),
+                 "p25": np.nanpercentile(draws, 25, axis=0),
+                 "p50": np.nanpercentile(draws, 50, axis=0),
+                 "p75": np.nanpercentile(draws, 75, axis=0)}
+    none_valid = ~mask.any(axis=0)                 # (B,)
+    if none_valid.any():
+        raw = {"mean": phys.mean(axis=0), "std": phys.std(axis=0),
+               "p25": np.percentile(phys, 25, axis=0),
+               "p50": np.percentile(phys, 50, axis=0),
+               "p75": np.percentile(phys, 75, axis=0)}
+        for k, v in stats.items():
+            v[none_valid] = raw[k][none_valid]
+    return stats
+
+
 class PosteriorService:
     """Loads a checkpoint once; answers posterior-inversion queries.
 
@@ -133,26 +160,7 @@ class PosteriorService:
                 scfg=scfg, mesh=self.mesh)
         phys, mask = inverse_pipeline(np.asarray(u)[:, :b],
                                       self.param_scaler, space=self.space)
-        # statistics over VALID draws only (the reference drops
-        # out-of-bounds rows before analyzing, ERT_Conditional_
-        # Diffusion.py:406-410); conditions with zero valid draws fall
-        # back to all-draw stats (their valid_fraction exposes it)
-        draws = np.where(mask[:, :, None], phys, np.nan)
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", RuntimeWarning)
-            stats = {"mean": np.nanmean(draws, axis=0),
-                     "std": np.nanstd(draws, axis=0),
-                     "p25": np.nanpercentile(draws, 25, axis=0),
-                     "p50": np.nanpercentile(draws, 50, axis=0),
-                     "p75": np.nanpercentile(draws, 75, axis=0)}
-        raw = {"mean": phys.mean(axis=0), "std": phys.std(axis=0),
-               "p25": np.percentile(phys, 25, axis=0),
-               "p50": np.percentile(phys, 50, axis=0),
-               "p75": np.percentile(phys, 75, axis=0)}
-        none_valid = ~mask.any(axis=0)                 # (B,)
-        for k, v in stats.items():
-            if none_valid.any():
-                v[none_valid] = raw[k][none_valid]
+        stats = masked_posterior_stats(phys, mask)
         out = {
             **{k: v.tolist() for k, v in stats.items()},
             "valid_fraction": float(mask.mean()),

@@ -128,3 +128,29 @@ def test_scfg_from_request_gate():
                            ("ddim_steps", 25, "ddim_steps")):
         scfg = scfg_from_request({"conditions": [], key: val})
         assert scfg is not None and getattr(scfg, attr) == val
+
+
+def test_masked_posterior_stats():
+    """Serving statistics ignore out-of-bounds draws (the reference
+    drops them before analyzing); zero-valid conditions fall back to
+    all-draw stats."""
+    from ertdx.serve import masked_posterior_stats
+
+    rng = np.random.default_rng(0)
+    phys = rng.normal(0.0, 1.0, size=(40, 3, 2))
+    phys[:20, 0] += 100.0                       # half the draws are junk
+    mask = np.ones((40, 3), bool)
+    mask[:20, 0] = False                        # ...and flagged invalid
+    mask[:, 2] = False                          # condition 2: none valid
+
+    st = masked_posterior_stats(phys, mask)
+    # condition 0: junk excluded -> mean near 0, not near 50
+    assert abs(st["mean"][0].mean()) < 1.0
+    # condition 1: all valid -> plain stats
+    np.testing.assert_allclose(st["mean"][1], phys[:, 1].mean(axis=0))
+    np.testing.assert_allclose(st["p50"][1],
+                               np.percentile(phys[:, 1], 50, axis=0))
+    # condition 2: zero valid -> all-draw fallback, finite
+    np.testing.assert_allclose(st["mean"][2], phys[:, 2].mean(axis=0))
+    for v in st.values():
+        assert np.isfinite(v).all()
