@@ -41,7 +41,7 @@ import optax
 from ertdx.configs import ModelConfig
 from ertdx.diffusion import get_diffusion_schedule, q_sample
 from ertdx.models import build_model
-from ertdx.train import TrainState, create_train_state
+from ertdx.train import TrainState
 
 L, C, P, T = 4693, 14, 29, 500
 N_ITER = 256

@@ -29,7 +29,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from parity_500ep import BATCH, C, L, LR, N, P, T, make_dataset  # noqa: E402
-from flagship_fullscale import EPOCHS, N_REAL, OUT, UQ_BATCH  # noqa: E402
+from flagship_fullscale import N_REAL, OUT, UQ_BATCH  # noqa: E402
 
 
 def main() -> int:

@@ -13,7 +13,6 @@ TPU-first rework of the reference inference loop
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
