@@ -242,6 +242,7 @@ def cmd_sample(args) -> int:
         # one flag steers whichever subsequence sampler is active
         overrides["ddim_steps"] = args.steps
         overrides["dpmpp_steps"] = args.steps
+        overrides["pd_steps"] = args.steps
     if args.eta is not None:
         overrides["ddim_eta"] = args.eta
     if args.guidance is not None:
@@ -307,6 +308,7 @@ def cmd_calibrate(args) -> int:
     if getattr(args, "steps", None) is not None:
         overrides["ddim_steps"] = args.steps
         overrides["dpmpp_steps"] = args.steps
+        overrides["pd_steps"] = args.steps
     if getattr(args, "eta", None) is not None:
         overrides["ddim_eta"] = args.eta
     if getattr(args, "guidance", None) is not None:
@@ -510,10 +512,10 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--mesh-data", type=int, default=0)
     sa.add_argument("--ema", action="store_true",
                     help="sample with the EMA parameters from the checkpoint")
-    sa.add_argument("--sampler", choices=["ancestral", "ddim", "dpmpp"],
+    sa.add_argument("--sampler", choices=["ancestral", "ddim", "dpmpp", "pd"],
                     default=None, help="override the preset's sampler")
     sa.add_argument("--steps", type=int, default=None,
-                    help="subsequence step budget for ddim/dpmpp")
+                    help="subsequence step budget for ddim/dpmpp/pd")
     sa.add_argument("--eta", type=float, default=None,
                     help="DDIM eta (0 = deterministic ODE)")
     sa.add_argument("--temperature", type=float, default=None,
@@ -538,7 +540,7 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--temps", default="1.0,1.25,1.5,2.0,3.0")
     ca.add_argument("--objective", default="goodness",
                     choices=["goodness", "accuracy", "precision"])
-    ca.add_argument("--sampler", choices=["ancestral", "ddim", "dpmpp"],
+    ca.add_argument("--sampler", choices=["ancestral", "ddim", "dpmpp", "pd"],
                     default=None)
     ca.add_argument("--steps", type=int, default=None,
                     help="subsequence sampler step budget (as at sample "

@@ -69,6 +69,15 @@ class ModelConfig:
                                    # condition-dropout probability (adds
                                    # learned null-context params; enables
                                    # SampleConfig.guidance_scale != 1)
+    parameterization: str = "eps"  # model-output semantics: "eps" (the
+                                   # reference's noise prediction) or "v"
+                                   # (velocity, Salimans & Ho 2022 —
+                                   # well-conditioned at every noise level;
+                                   # required for few-step distilled
+                                   # samplers, ertdx.distill). Same param
+                                   # tree either way; changes the training
+                                   # target and the samplers' output
+                                   # conversion.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,10 +130,14 @@ class SampleConfig:
     # for the deterministic dpmpp ODE sampler it scales the INITIAL
     # noise instead (prior tempering — the only knob an ODE admits)
     temperature: float = 1.0
-    sampler: str = "ancestral"     # "ancestral" | "ddim" | "dpmpp"
+    sampler: str = "ancestral"     # "ancestral" | "ddim" | "dpmpp" | "pd"
     ddim_steps: int = 50
     ddim_eta: float = 0.0
     dpmpp_steps: int = 15
+    pd_steps: int = 4              # "pd": few-step deterministic chain on
+                                   # the progressive-distillation grid —
+                                   # the sampler for ertdx.distill
+                                   # students (prior-tempered like dpmpp)
     # classifier-free guidance scale: eps = eps_u + g*(eps_c - eps_u).
     # 1.0 = pure conditional (no extra cost); != 1 doubles denoiser calls
     # and requires a model trained with ModelConfig.uncond_prob > 0.

@@ -70,6 +70,76 @@ def q_sample(x0: jax.Array, t: jax.Array, noise: jax.Array,
     return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
 
 
+# ---- v-parameterization (Salimans & Ho 2022, arXiv:2202.00512) ----
+#
+# With x_t = alpha_t x0 + sigma_t eps (alpha = sqrt(abar), sigma =
+# sqrt(1-abar)), the "velocity" v := alpha_t eps - sigma_t x0 is the
+# prediction target that stays well-conditioned over the WHOLE noise
+# range: eps-prediction amplifies model error by sigma/alpha when
+# converted to x0 near t ~ T (alpha -> 0), which is exactly where
+# few-step samplers and distilled students evaluate. The reference has
+# no analogue (its model is eps-only, ERT_Conditional_Diffusion.py:122-164);
+# this is the enabling layer for progressive distillation (ertdx.distill).
+# All three quantities are affine in each other given (x_t, abar_t):
+#   eps = sigma x + alpha v        x0 = alpha x - sigma v
+#   v   = alpha eps - sigma x0
+
+
+def v_from_eps_x0(eps: jax.Array, x0: jax.Array,
+                  abar_t: jax.Array) -> jax.Array:
+    """Training target v = alpha_t eps - sigma_t x0. abar_t broadcastable."""
+    return jnp.sqrt(abar_t) * eps - jnp.sqrt(1.0 - abar_t) * x0
+
+
+def eps_from_v(v: jax.Array, x: jax.Array, abar_t: jax.Array) -> jax.Array:
+    """eps = sigma_t x + alpha_t v."""
+    return jnp.sqrt(1.0 - abar_t) * x + jnp.sqrt(abar_t) * v
+
+
+def x0_from_v(v: jax.Array, x: jax.Array, abar_t: jax.Array) -> jax.Array:
+    """x0 = alpha_t x - sigma_t v."""
+    return jnp.sqrt(abar_t) * x - jnp.sqrt(1.0 - abar_t) * v
+
+
+def prediction_target(x0: jax.Array, noise: jax.Array, t: jax.Array,
+                      alpha_bar: jax.Array,
+                      parameterization: str) -> jax.Array:
+    """The training regression target for a given model parameterization.
+
+    "eps" returns `noise` UNCHANGED (the reference's loss,
+    ERT_Conditional_Diffusion.py:316 — bitwise-identical training
+    program); "v" returns alpha_t noise - sigma_t x0.
+    """
+    if parameterization == "eps":
+        return noise
+    if parameterization == "v":
+        return v_from_eps_x0(noise, x0, alpha_bar[t][:, None])
+    raise ValueError(f"unknown parameterization {parameterization!r} "
+                     "(expected 'eps' or 'v')")
+
+
+def as_eps_denoiser(model_fn: DenoiseFn, alpha_bar: jax.Array,
+                    parameterization: str) -> DenoiseFn:
+    """Adapt a raw model-output closure to the samplers' eps contract.
+
+    Every sampler in this module consumes eps-predictions; a v-model's
+    output converts with one fused multiply-add per step (eps = sigma x +
+    alpha v). For "eps" the closure is returned untouched, so existing
+    programs are bit-identical.
+    """
+    if parameterization == "eps":
+        return model_fn
+    if parameterization != "v":
+        raise ValueError(f"unknown parameterization {parameterization!r} "
+                         "(expected 'eps' or 'v')")
+
+    def fn(x, t):
+        ab = alpha_bar[t].astype(x.dtype)[:, None]
+        return eps_from_v(model_fn(x, t), x, ab)
+
+    return fn
+
+
 def sample_ancestral(denoise_fn: DenoiseFn, key: jax.Array, shape,
                      schedule: DiffusionSchedule,
                      truncate_steps: Optional[int] = None,
@@ -185,6 +255,69 @@ def sample_ddim(denoise_fn: DenoiseFn, key: jax.Array, shape,
     inputs = (ts[::-1], abar_seq[::-1], abar_prev_seq[::-1],
               step_keys)
     x_final, _ = jax.lax.scan(body, x_init, inputs)
+    return x_final
+
+
+def pd_grid(T: int, num_steps: int) -> jnp.ndarray:
+    """Progressive-distillation timestep grid: the discrete indices of the
+    signal fractions i/N, i = 1..N — idx_i = round(i T / N) - 1, increasing.
+
+    Unlike `ddim_timesteps` (round-linspace over [0, T-1], both endpoints),
+    this grid NESTS exactly under halving: pd_grid(T, 2N)[2i-1] ==
+    pd_grid(T, N)[i-1], so one student step on the N-grid spans exactly two
+    teacher steps on the 2N-grid — the invariant progressive distillation
+    trains against (Salimans & Ho 2022). pd_grid(T, T) is the full chain
+    [0..T-1]; the step from grid[0] targets the CLEAN point (abar = 1),
+    matching sample_ddim's terminal rule.
+    """
+    if num_steps > T:
+        raise ValueError(f"num_steps={num_steps} > T={T}")
+    if num_steps < 1:
+        raise ValueError(f"num_steps={num_steps} < 1")
+    import numpy as _np
+    # exact integer round-half-up — float rounding could break the
+    # halving-nesting invariant by one index at ulp boundaries:
+    # round(i T / N) = (2 i T + N) // (2 N), and
+    # (2 (2i) T + 2N) // (4N) == (2 i T + N) // (2N) identically.
+    i = _np.arange(1, num_steps + 1, dtype=_np.int64)
+    idx = (2 * i * T + num_steps) // (2 * num_steps) - 1
+    return jnp.asarray(idx, dtype=jnp.int32)
+
+
+def sample_pd(denoise_fn: DenoiseFn, key: jax.Array, shape,
+              schedule: DiffusionSchedule, num_steps: int = 4,
+              temperature: float = 1.0, dtype=jnp.float32) -> jax.Array:
+    """Few-step deterministic sampler on the progressive-distillation grid.
+
+    DDIM (eta=0) over `pd_grid(T, num_steps)` — the EXACT chain a student
+    distilled by ertdx.distill was trained to traverse; sampling a
+    distilled model on any other grid throws away the distillation target.
+    Deterministic ODE-style chain, so `temperature` tempers the PRIOR draw
+    (the same semantics as sample_dpmpp_2m). Works for any denoiser, but
+    only distilled (v-parameterized) students are accurate at very small
+    num_steps.
+    """
+    T = schedule.num_steps
+    ts = pd_grid(T, num_steps)           # increasing
+    B = shape[0]
+    x = temperature * jax.random.normal(key, shape, dtype=dtype)
+
+    alpha_bar = schedule.alpha_bar.astype(dtype)
+    abar_seq = alpha_bar[ts]
+    # previous grid point of ts[0] is the CLEAN point (abar = 1)
+    abar_prev_seq = jnp.concatenate([jnp.ones((1,), dtype), abar_seq[:-1]])
+
+    def body(x, inp):
+        t_, abar_t, abar_prev = inp
+        t_batch = jnp.full((B,), t_, dtype=jnp.int32)
+        eps_hat = denoise_fn(x, t_batch)
+        x0_hat = (x - jnp.sqrt(1.0 - abar_t) * eps_hat) / jnp.sqrt(abar_t)
+        x = (jnp.sqrt(abar_prev) * x0_hat
+             + jnp.sqrt(1.0 - abar_prev) * eps_hat)
+        return x, None
+
+    x_final, _ = jax.lax.scan(body, x,
+                              (ts[::-1], abar_seq[::-1], abar_prev_seq[::-1]))
     return x_final
 
 

@@ -17,10 +17,12 @@ def build_model(cfg: ModelConfig):
     if cfg.name == "refmlp":
         return RefCondMLP(param_dim=cfg.param_dim, hidden_dim=cfg.hidden_dim,
                           cond_channels=cfg.cond_channels,
-                          uncond_prob=cfg.uncond_prob)
+                          uncond_prob=cfg.uncond_prob,
+                          parameterization=cfg.parameterization)
     if cfg.name == "uncondmlp":
         return UncondMLP(param_dim=cfg.param_dim,
-                         hidden_dim=cfg.hidden_dim)
+                         hidden_dim=cfg.hidden_dim,
+                         parameterization=cfg.parameterization)
     if cfg.name == "condunet":
         import jax.numpy as jnp
         return CondUNet(param_dim=cfg.param_dim, hidden_dim=cfg.hidden_dim,
@@ -37,7 +39,8 @@ def build_model(cfg: ModelConfig):
                         ensemble_mega=cfg.ensemble_mega,
                         ensemble_mega_accurate=cfg.ensemble_mega_accurate,
                         dtype=jnp.dtype(cfg.dtype),
-                        uncond_prob=cfg.uncond_prob)
+                        uncond_prob=cfg.uncond_prob,
+                        parameterization=cfg.parameterization)
     raise ValueError(f"unknown model {cfg.name!r}")
 
 

@@ -365,6 +365,12 @@ class CondUNet(nn.Module):
                                  # adds learned null-context params and
                                  # enables guided sampling
                                  # (SampleConfig.guidance_scale)
+    parameterization: str = "eps"  # output semantics: "eps" | "v" — pure
+                                   # metadata (same param tree); read by
+                                   # ertdx.train (target) and ertdx.sample
+                                   # (output conversion). "v" is the
+                                   # distillation-grade parameterization
+                                   # (ertdx.distill).
 
     def setup(self):
         self.encoder = ConditionEncoder(

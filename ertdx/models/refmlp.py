@@ -33,6 +33,10 @@ class RefCondMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
     uncond_prob: float = 0.0     # CFG condition-dropout (see CondUNet);
                                  # 0 keeps the exact reference param tree
+    parameterization: str = "eps"  # output semantics: "eps" | "v" — pure
+                                   # metadata (same tree); read by
+                                   # ertdx.train (target) and ertdx.sample
+                                   # (output conversion)
 
     def setup(self):
         self.conv1 = TorchConv1d(32, kernel_size=3, stride=2, padding=1,

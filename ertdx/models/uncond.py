@@ -19,6 +19,7 @@ class UncondMLP(nn.Module):
     param_dim: int = 256
     hidden_dim: int = 256
     num_blocks: int = 3
+    parameterization: str = "eps"  # "eps" | "v" output semantics (metadata)
 
     def setup(self):
         self.inp = nn.Dense(self.hidden_dim)

@@ -21,8 +21,8 @@ import numpy as np
 
 from . import transforms
 from .configs import SampleConfig
-from .diffusion import (DiffusionSchedule, sample_ancestral, sample_ddim,
-                        sample_dpmpp_2m)
+from .diffusion import (DiffusionSchedule, as_eps_denoiser, sample_ancestral,
+                        sample_ddim, sample_dpmpp_2m, sample_pd)
 from .models.mega import (mega_denoise_ensemble,
                           mega_denoise_ensemble_sharded, mega_plan)
 from .params import ParameterSpace
@@ -63,6 +63,7 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
     # program structure is part of the key
     key_ = (_cache_token(model), n_realizations, P, scfg.sampler,
             scfg.ddim_steps, scfg.ddim_eta, scfg.dpmpp_steps,
+            getattr(scfg, "pd_steps", 4),
             scfg.guidance_scale != 1.0,
             truncate_steps, T, tuple(cond_shape), batch,
             _cache_token(mesh))
@@ -70,9 +71,9 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
     if fn is not None:
         return fn
 
-    if scfg.sampler not in ("ancestral", "ddim", "dpmpp"):
+    if scfg.sampler not in ("ancestral", "ddim", "dpmpp", "pd"):
         raise ValueError(f"unknown sampler {scfg.sampler!r} "
-                         "(expected 'ancestral', 'ddim' or 'dpmpp')")
+                         "(expected 'ancestral', 'ddim', 'dpmpp' or 'pd')")
     if truncate_steps is not None and scfg.sampler != "ancestral":
         # the compat truncation is an ancestral-only notion; silently
         # ignoring it would return different samples than requested
@@ -82,7 +83,15 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
     # a step budget >= T means "use the full chain": clamp instead of
     # letting the timestep-grid constructors raise — small-T presets with
     # the default ddim_steps=50/dpmpp_steps=15 are otherwise unusable
-    if scfg.sampler == "dpmpp":
+    if scfg.sampler == "pd":
+        n_solver = min(getattr(scfg, "pd_steps", 4), T)
+
+        def sampler(fn_, key, shape, schedule, temperature):
+            # deterministic few-step chain on the distillation grid:
+            # temperature tempers the PRIOR draw (like dpmpp)
+            return sample_pd(fn_, key, shape, schedule=schedule,
+                             num_steps=n_solver, temperature=temperature)
+    elif scfg.sampler == "dpmpp":
         n_solver = min(scfg.dpmpp_steps, T)
 
         def sampler(fn_, key, shape, schedule, temperature):
@@ -181,7 +190,9 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
             # classifier-free guidance: eps = eps_u + g (eps_c - eps_u);
             # the null context reuses the SAME fused/sharded path as the
             # conditional one (2x denoiser calls per step). g is traced —
-            # guidance sweeps reuse this one compilation.
+            # guidance sweeps reuse this one compilation. For v-models
+            # the combination happens in v-space, which is EXACTLY the
+            # eps-space combination (eps is affine in v at fixed x, t).
             null_ctx = model.apply({"params": params}, cond_ctx,
                                    jnp.ones((B,), bool),
                                    method=model.drop_condition)
@@ -192,6 +203,12 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
                 return eps_u + guidance * (fn_c(x, t) - eps_u)
         else:
             denoise_fn = mk(cond_ctx)
+
+        # v-parameterized models: one fused multiply-add per step converts
+        # the raw output to the samplers' eps contract (identity for eps)
+        denoise_fn = as_eps_denoiser(
+            denoise_fn, schedule.alpha_bar,
+            getattr(model, "parameterization", "eps"))
 
         u = sampler(denoise_fn, key, (n_realizations * B, P),
                     schedule, temperature)

@@ -184,12 +184,12 @@ class PosteriorService:
 #: present builds a SampleConfig (a request carrying only, say,
 #: guidance_scale or temperature must not be silently ignored)
 _SAMPLER_KEYS = ("sampler", "ddim_steps", "ddim_eta", "dpmpp_steps",
-                 "guidance_scale", "temperature")
+                 "pd_steps", "guidance_scale", "temperature")
 
 
 _SAMPLER_CASTS = {"sampler": str, "ddim_steps": int, "ddim_eta": float,
-                  "dpmpp_steps": int, "guidance_scale": float,
-                  "temperature": float}
+                  "dpmpp_steps": int, "pd_steps": int,
+                  "guidance_scale": float, "temperature": float}
 
 
 def scfg_from_request(req: dict) -> Optional[SampleConfig]:

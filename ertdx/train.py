@@ -34,7 +34,8 @@ from flax.training import train_state
 from . import configs as configs_lib
 from . import data as data_lib
 from .configs import ExperimentConfig
-from .diffusion import DiffusionSchedule, get_diffusion_schedule, q_sample
+from .diffusion import (DiffusionSchedule, get_diffusion_schedule,
+                        prediction_target, q_sample)
 from .models import build_model
 from .parallel.mesh import batch_sharding, replicated
 from .utils import checkpoint as ckpt_lib
@@ -140,7 +141,8 @@ def _make_eps_fn(apply_fn: Callable, uncond_prob: float):
     return eps_fn
 
 
-def _make_batch_update(eps_fn: Callable, T: int, ema_decay: float):
+def _make_batch_update(eps_fn: Callable, T: int, ema_decay: float,
+                       parameterization: str = "eps"):
     """THE one train-step body (t/noise draw, q_sample, eps-MSE,
     apply_gradients, EMA) shared by all three dispatch paths — the
     bitwise cross-path parity the module advertises depends on there
@@ -148,18 +150,23 @@ def _make_batch_update(eps_fn: Callable, T: int, ema_decay: float):
 
     w=None keeps the exact unweighted jnp.mean (the device-resident
     paths' historical form, bitwise); a weight vector selects the
-    padded-batch weighted mean."""
+    padded-batch weighted mean. parameterization="eps" regresses the
+    model output on the drawn noise (the reference loss, bit-identical
+    program: prediction_target returns `noise` untouched); "v" regresses
+    on the velocity target (diffusion.prediction_target)."""
     def update(state: TrainState, x0, cond, w, key, alpha_bar):
         kt, kn = jax.random.split(key)
         t = jax.random.randint(kt, (x0.shape[0],), 0, T, dtype=jnp.int32)
         noise = jax.random.normal(kn, x0.shape, x0.dtype)
         x_noisy = q_sample(x0, t, noise, alpha_bar)
+        target = prediction_target(x0, noise, t, alpha_bar,
+                                   parameterization)
 
         def loss_fn(params):
             eps_hat = eps_fn(params, x_noisy, t, cond, key)
             if w is None:
-                return jnp.mean((eps_hat - noise) ** 2)
-            return weighted_eps_mse(eps_hat, noise, w)
+                return jnp.mean((eps_hat - target) ** 2)
+            return weighted_eps_mse(eps_hat, target, w)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads=grads)
@@ -171,13 +178,14 @@ def _make_batch_update(eps_fn: Callable, T: int, ema_decay: float):
 
 def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
                     donate: bool = True, ema_decay: float = 0.0,
-                    uncond_prob: float = 0.0):
+                    uncond_prob: float = 0.0,
+                    parameterization: str = "eps"):
     # schedule arrays are passed as jit ARGUMENTS, not closure constants —
     # never close over device data in jitted bodies (docs/DESIGN.md §5b),
     # and argument-passing keeps one program across schedule values
     T = schedule.num_steps
     eps_fn = _make_eps_fn(apply_fn, uncond_prob)
-    _step = _make_batch_update(eps_fn, T, ema_decay)
+    _step = _make_batch_update(eps_fn, T, ema_decay, parameterization)
 
     jitted = jax.jit(_step, donate_argnums=(0,) if donate else ())
 
@@ -189,7 +197,8 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
 
 def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
                     donate: bool = True, ema_decay: float = 0.0,
-                    batch_shard=None, uncond_prob: float = 0.0):
+                    batch_shard=None, uncond_prob: float = 0.0,
+                    parameterization: str = "eps"):
     """Whole-epoch train step: one dispatch, lax.scan over batches.
 
     The per-step model is tiny (SURVEY.md §6), so per-dispatch latency
@@ -222,7 +231,7 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
             x0_b = jax.lax.with_sharding_constraint(x0_b, batch_shard)
             cond_b = jax.lax.with_sharding_constraint(cond_b, batch_shard)
 
-        update = _make_batch_update(eps_fn, T, ema_decay)
+        update = _make_batch_update(eps_fn, T, ema_decay, parameterization)
 
         def body(carry, inp):
             state, = carry
@@ -246,7 +255,8 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
 
 def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
                    donate: bool = True, ema_decay: float = 0.0,
-                   uncond_prob: float = 0.0, batch_shard=None):
+                   uncond_prob: float = 0.0, batch_shard=None,
+                   parameterization: str = "eps"):
     """Multi-epoch train+val in ONE dispatch: scan(epochs) of scan(batches).
 
     Removes per-dispatch host latency entirely for E epochs at a time
@@ -271,7 +281,7 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
     def _run(state, x0_tr, cond_tr, batch_idx, epoch_keys,
              x0_va, cond_va, val_idx, val_w, val_keys, best_val_in,
              alpha_bar):
-        update = _make_batch_update(eps_fn, T, ema_decay)
+        update = _make_batch_update(eps_fn, T, ema_decay, parameterization)
 
         def batch_body(state, inp):
             x0, cond, k = inp
@@ -316,9 +326,11 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
                 t = jax.random.randint(kt, (x0.shape[0],), 0, T, jnp.int32)
                 noise = jax.random.normal(kn, x0.shape, x0.dtype)
                 x_noisy = q_sample(x0, t, noise, alpha_bar)
+                target = prediction_target(x0, noise, t, alpha_bar,
+                                           parameterization)
                 eps_hat = apply_fn({"params": state.params}, x_noisy, t,
                                    cond)
-                per_ex = jnp.mean((eps_hat - noise) ** 2, axis=-1)
+                per_ex = jnp.mean((eps_hat - target) ** 2, axis=-1)
                 return None, (jnp.sum(per_ex * w), jnp.sum(w))
 
             vkeys = jax.random.split(vkey, val_idx.shape[0])
@@ -353,7 +365,8 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
     return run
 
 
-def make_eval_step(apply_fn: Callable, schedule: DiffusionSchedule):
+def make_eval_step(apply_fn: Callable, schedule: DiffusionSchedule,
+                   parameterization: str = "eps"):
     T = schedule.num_steps
 
     def _step(params, x0: jax.Array, cond: jax.Array, w: jax.Array,
@@ -363,8 +376,10 @@ def make_eval_step(apply_fn: Callable, schedule: DiffusionSchedule):
         t = jax.random.randint(kt, (B,), 0, T, dtype=jnp.int32)
         noise = jax.random.normal(kn, x0.shape, x0.dtype)
         x_noisy = q_sample(x0, t, noise, alpha_bar)
+        target = prediction_target(x0, noise, t, alpha_bar,
+                                   parameterization)
         eps_hat = apply_fn({"params": params}, x_noisy, t, cond)
-        return weighted_eps_mse(eps_hat, noise, w)
+        return weighted_eps_mse(eps_hat, target, w)
 
     jitted = jax.jit(_step)
 
@@ -374,7 +389,8 @@ def make_eval_step(apply_fn: Callable, schedule: DiffusionSchedule):
     return step
 
 
-def make_eval_epoch(apply_fn: Callable, schedule: DiffusionSchedule):
+def make_eval_epoch(apply_fn: Callable, schedule: DiffusionSchedule,
+                    parameterization: str = "eps"):
     """Whole-val-set eval in one dispatch (scan over batches)."""
     T = schedule.num_steps
 
@@ -393,8 +409,10 @@ def make_eval_epoch(apply_fn: Callable, schedule: DiffusionSchedule):
             t = jax.random.randint(kt, (x0.shape[0],), 0, T, jnp.int32)
             noise = jax.random.normal(kn, x0.shape, x0.dtype)
             x_noisy = q_sample(x0, t, noise, alpha_bar)
+            target = prediction_target(x0, noise, t, alpha_bar,
+                                       parameterization)
             eps_hat = apply_fn({"params": params}, x_noisy, t, cond)
-            per_ex = jnp.mean((eps_hat - noise) ** 2, axis=-1)
+            per_ex = jnp.mean((eps_hat - target) ** 2, axis=-1)
             return None, (jnp.sum(per_ex * w), jnp.sum(w))
         keys = jax.random.split(key, batch_idx.shape[0])
         _, (num, den) = jax.lax.scan(body, None,
@@ -489,11 +507,13 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                 from jax.sharding import NamedSharding, PartitionSpec
                 batch_shard = NamedSharding(
                     mesh, PartitionSpec(None, "data"))
-        epoch_step = make_epoch_step(model.apply, schedule,
-                                     ema_decay=tcfg.ema_decay,
-                                     batch_shard=batch_shard,
-                                     uncond_prob=cfg.model.uncond_prob)
-        eval_epoch = make_eval_epoch(model.apply, schedule)
+        epoch_step = make_epoch_step(
+            model.apply, schedule, ema_decay=tcfg.ema_decay,
+            batch_shard=batch_shard, uncond_prob=cfg.model.uncond_prob,
+            parameterization=cfg.model.parameterization)
+        eval_epoch = make_eval_epoch(
+            model.apply, schedule,
+            parameterization=cfg.model.parameterization)
         put = (lambda a: jax.device_put(jnp.asarray(a), replicated(mesh))
                ) if mesh is not None else (
                lambda a: jax.device_put(jnp.asarray(a)))
@@ -510,10 +530,13 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
         v_idx_d = jax.device_put(jnp.asarray(v_idx))
         v_w_d = jax.device_put(jnp.asarray(v_w))
     else:
-        train_step = make_train_step(model.apply, schedule,
-                                     ema_decay=tcfg.ema_decay,
-                                     uncond_prob=cfg.model.uncond_prob)
-        eval_step = make_eval_step(model.apply, schedule)
+        train_step = make_train_step(
+            model.apply, schedule, ema_decay=tcfg.ema_decay,
+            uncond_prob=cfg.model.uncond_prob,
+            parameterization=cfg.model.parameterization)
+        eval_step = make_eval_step(
+            model.apply, schedule,
+            parameterization=cfg.model.parameterization)
 
     best_val = float("inf")
     best_epoch = -1
@@ -547,7 +570,8 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
         run_fn = make_train_run(model.apply, schedule,
                                 ema_decay=tcfg.ema_decay,
                                 uncond_prob=cfg.model.uncond_prob,
-                                batch_shard=batch_shard)
+                                batch_shard=batch_shard,
+                                parameterization=cfg.model.parameterization)
         epoch = start_epoch
         while epoch < tcfg.num_epochs:
             k_now = min(K, tcfg.num_epochs - epoch)
@@ -693,13 +717,17 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                        sps)
 
 
-#: model fields that change the param-tree layout (and so the restore
-#: template): architecture shape knobs, the CFG null-context params, and
-#: the width-aware fused-conv dispatch (moves affected blocks' params).
+#: model fields that must travel with the weights at restore: the ones
+#: that change the param-tree layout (architecture shape knobs, the CFG
+#: null-context params, the width-aware fused-conv dispatch) plus
+#: `parameterization`, which keeps the tree but changes what the output
+#: MEANS — restoring a v-model as eps would silently produce garbage
+#: samples.
 _MODEL_LAYOUT_FIELDS = (
     "name", "param_dim", "hidden_dim", "cond_channels", "cond_length",
     "base_width", "depth", "num_heads", "core_heads", "num_blocks",
-    "uncond_prob", "pallas_conv", "pallas_conv_min_width")
+    "uncond_prob", "pallas_conv", "pallas_conv_min_width",
+    "parameterization")
 #: train fields that change the optimizer-state layout: any schedule (or
 #: warmup) adds a step-count slot, flat_optimizer flattens the moment
 #: tree, ema_decay adds ema_params.

@@ -5,8 +5,9 @@ import numpy as np
 import pytest
 
 from ertdx.diffusion import (ddim_timesteps, get_diffusion_schedule,
-                             lambda_timesteps, q_sample, sample_ancestral,
-                             sample_ddim, sample_dpmpp_2m)
+                             lambda_timesteps, pd_grid, q_sample,
+                             sample_ancestral, sample_ddim, sample_dpmpp_2m,
+                             sample_pd)
 
 
 def test_schedule_closed_form():
@@ -248,3 +249,81 @@ def test_truncate_steps_oversize_raises():
     with pytest.raises(ValueError, match="truncate_steps"):
         sample_ancestral(lambda x, t: x, jax.random.key(0), (2, 4), sch,
                          truncate_steps=11)
+
+
+def test_pd_grid_properties():
+    """PD grid: exact indices of the signal fractions i/N, and the halving
+    nesting invariant progressive distillation depends on."""
+    # full chain is the identity grid
+    assert (np.asarray(pd_grid(500, 500)) == np.arange(500)).all()
+    # one step = the noisiest index
+    assert np.asarray(pd_grid(500, 1)) == [499]
+    for T in (500, 10, 37, 1000):
+        for n in (1, 2, 3, 4, 5, 8):
+            if n > T:
+                continue
+            g = np.asarray(pd_grid(T, n))
+            assert g.shape == (n,) and (np.diff(g) > 0).all()
+            assert g[-1] == T - 1 and g[0] >= 0
+            if 2 * n <= T:
+                g2 = np.asarray(pd_grid(T, 2 * n))
+                # student step i spans exactly teacher steps 2i-1, 2i
+                np.testing.assert_array_equal(g2[1::2], g)
+    with pytest.raises(ValueError):
+        pd_grid(10, 11)
+    with pytest.raises(ValueError):
+        pd_grid(10, 0)
+
+
+def test_sample_pd_recovers_gaussian():
+    """With the analytic denoiser, the PD-grid deterministic chain matches
+    the DDIM-grid one at moderate step counts (both are eta=0 chains on
+    slightly different grids)."""
+    mu = 0.9
+    sch = get_diffusion_schedule(500)
+    denoise = _perfect_denoiser(mu)(sch)
+    out = np.asarray(sample_pd(denoise, jax.random.key(2), (4000, 2), sch,
+                               num_steps=8))
+    assert abs(out.mean() - mu) < 0.1
+    assert abs(out.std() - 1.0) < 0.15
+
+
+def test_sample_pd_full_grid_matches_ddim_eta0():
+    """pd_grid(T, T) is the identity grid, so sample_pd at num_steps=T is
+    the same deterministic map as DDIM eta=0 at num_steps=T. Align the
+    prior draws (sample_ddim splits its key before drawing x_init) and
+    the chains must agree pointwise."""
+    sch = get_diffusion_schedule(20)
+    denoise = _perfect_denoiser(0.3)(sch)
+    key = jax.random.key(4)
+    _, init_key = jax.random.split(key)
+    a = np.asarray(sample_pd(denoise, init_key, (16, 3), sch, num_steps=20))
+    b = np.asarray(sample_ddim(denoise, key, (16, 3), sch, num_steps=20,
+                               eta=0.0))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
+def test_sample_pd_prior_temperature():
+    """temperature scales the PRIOR draw of the deterministic chain:
+    higher T widens the output spread monotonically."""
+    sch = get_diffusion_schedule(100)
+    denoise = _perfect_denoiser(0.0)(sch)
+    cold = np.asarray(sample_pd(denoise, jax.random.key(1), (2000, 2), sch,
+                                num_steps=4, temperature=0.2))
+    hot = np.asarray(sample_pd(denoise, jax.random.key(1), (2000, 2), sch,
+                               num_steps=4, temperature=2.0))
+    assert hot.std() > cold.std() * 1.5
+
+
+def test_sample_pd_one_step_is_x0_prediction():
+    """num_steps=1: the chain is a single x0-extrapolation from t=T-1."""
+    sch = get_diffusion_schedule(50)
+    denoise = _perfect_denoiser(0.0)(sch)
+    key = jax.random.key(7)
+    out = np.asarray(sample_pd(denoise, key, (8, 4), sch, num_steps=1))
+    x = jax.random.normal(key, (8, 4))
+    t = jnp.full((8,), 49, jnp.int32)
+    eps = denoise(x, t)
+    ab = sch.alpha_bar[49]
+    want = (x - jnp.sqrt(1 - ab) * eps) / jnp.sqrt(ab)
+    np.testing.assert_allclose(out, np.asarray(want), atol=1e-5)
