@@ -332,6 +332,41 @@ def cmd_calibrate(args) -> int:
     return 0
 
 
+def cmd_distill(args) -> int:
+    """Progressively distill a trained checkpoint to few-step sampling."""
+    from . import data as data_lib
+    from .distill import DistillConfig, distill
+    from .parallel.mesh import make_mesh
+    from .utils.logging import MetricsLogger
+    cfg = _load_cfg(args, adopt_checkpoint=True)
+    sim_param = np.load(args.params)
+    ert = np.load(args.ert)
+    from .train import load_best_model
+    # restore scalers first so the dataset transforms match training
+    _, _, scalers = load_best_model(args.checkpoint_dir, cfg, None)
+    ds = data_lib.prepare_dataset(sim_param, ert,
+                                  param_scaler=scalers.get("param_scaler"),
+                                  ert_scaler=scalers.get("ert_scaler"))
+    dcfg = DistillConfig(
+        target_steps=args.target_steps, start_steps=args.start_steps,
+        epochs_per_stage=args.epochs_per_stage,
+        convert_epochs=args.convert_epochs, lr=args.lr,
+        cosine_lr=not args.constant_lr, batch_size=args.batch_size,
+        seed=args.seed, use_ema_teacher=args.ema)
+    mesh = make_mesh(data=args.mesh_data) if args.mesh_data else None
+    logger = MetricsLogger(args.log_file, echo=True)
+    res = distill(cfg, dcfg, ds, teacher_dir=args.checkpoint_dir,
+                  out_dir=args.out_dir, mesh=mesh, logger=logger)
+    for s in res.stages:
+        print(f"stage {s.kind}@{s.student_steps}: "
+              f"loss {s.losses[0]:.5f} -> {s.losses[-1]:.5f} "
+              f"(val {s.val_losses[-1]:.5f}) in {s.seconds:.1f}s")
+    print(f"student ({res.target_steps}-step pd sampler) saved under "
+          f"{args.out_dir}; sample with: ertdiff sample "
+          f"--checkpoint-dir {args.out_dir}")
+    return 0
+
+
 def cmd_metrics(args) -> int:
     from .metrics import per_parameter_uq, uq_scores
     from .utils.logging import write_csv
@@ -557,6 +592,35 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--seed", type=int, default=None)
     ca.add_argument("--out", default=None)
     ca.set_defaults(fn=cmd_calibrate)
+
+    di = sub.add_parser("distill",
+                        help="progressive distillation to a few-step "
+                             "pd-sampler student (Salimans & Ho 2022)")
+    di.add_argument("--params", required=True)
+    di.add_argument("--ert", required=True)
+    di.add_argument("--checkpoint-dir", required=True,
+                    help="the trained teacher checkpoint")
+    di.add_argument("--out-dir", required=True,
+                    help="where the student checkpoint lands")
+    di.add_argument("--preset", default="ref_default")
+    di.add_argument("--model", choices=["refmlp", "condunet"], default=None)
+    di.add_argument("--target-steps", type=int, default=4)
+    di.add_argument("--start-steps", type=int, default=64,
+                    help="first teacher grid (target * 2**k; clamped to T)")
+    di.add_argument("--epochs-per-stage", type=int, default=60)
+    di.add_argument("--convert-epochs", type=int, default=40,
+                    help="same-grid eps->v conversion stage (skipped for "
+                         "v teachers)")
+    di.add_argument("--lr", type=float, default=1e-4)
+    di.add_argument("--constant-lr", action="store_true",
+                    help="constant per-stage lr instead of cosine-to-0")
+    di.add_argument("--batch-size", type=int, default=32)
+    di.add_argument("--seed", type=int, default=42)
+    di.add_argument("--ema", action="store_true",
+                    help="distill from the teacher's EMA weights")
+    di.add_argument("--mesh-data", type=int, default=0)
+    di.add_argument("--log-file", default=None)
+    di.set_defaults(fn=cmd_distill)
 
     m = sub.add_parser("metrics", help="UQ accuracy/precision/goodness")
     m.add_argument("--pred", required=True)

@@ -96,6 +96,25 @@ def test_train_then_sample_then_metrics(tmp_path):
         assert cal["best_temperature"] in (1.0, 2.0)
         assert set(cal["records"]) == {"1.0", "2.0"}
 
+        # progressive distillation -> a pd-sampler student whose echo
+        # makes `sample` work with zero sampler flags
+        stu = tmp_path / "student"
+        rc = main(["distill", "--params", str(p_path), "--ert",
+                   str(e_path), "--checkpoint-dir", str(ck),
+                   "--out-dir", str(stu), "--preset", "tiny_test",
+                   "--target-steps", "2", "--start-steps", "4",
+                   "--epochs-per-stage", "2", "--convert-epochs", "2",
+                   "--batch-size", "16"])
+        assert rc == 0
+        assert (stu / "best" / "state.msgpack").exists()
+        out3 = tmp_path / "pred_pd.npy"
+        rc = main(["sample", "--params", str(p_path), "--ert", str(e_path),
+                   "--checkpoint-dir", str(stu), "--preset", "tiny_test",
+                   "--realizations", "3", "--out", str(out3)])
+        assert rc == 0
+        pred3 = np.load(out3)
+        assert pred3.shape == pred.shape and np.isfinite(pred3).all()
+
         csv_out = tmp_path / "uq.csv"
         rc = main(["metrics", "--pred", str(out),
                    "--true", str(tmp_path / "true_params.npy"),
