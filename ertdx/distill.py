@@ -79,6 +79,10 @@ class DistillConfig:
     batch_size: int = 32
     seed: int = 42
     use_ema_teacher: bool = False  # start from the teacher's EMA params
+    save_stages: bool = False      # also checkpoint every intermediate
+                                   # student under <out_dir>/pd<N> (each
+                                   # with its own pd_steps=N echo), so one
+                                   # run yields samplers at every halving
 
 
 @dataclasses.dataclass
@@ -435,6 +439,10 @@ def distill(cfg: ExperimentConfig, dcfg: DistillConfig,
                               dcfg.epochs_per_stage, teacher_d,
                               teacher_params, key, teacher_kind)
         stages.append(sr)
+        if out_dir and dcfg.save_stages:
+            _save_student(f"{out_dir}/pd{n_teacher // 2}", state,
+                          n_teacher // 2, stages, cfg, mcfg, dcfg, seed,
+                          teacher_dir, dataset)
         teacher_d = jax.device_put(
             jax.tree_util.tree_map(jnp.copy, state.params),
             replicated(mesh) if mesh is not None else None)
@@ -445,25 +453,32 @@ def distill(cfg: ExperimentConfig, dcfg: DistillConfig,
         state = fresh_state(teacher_params, 1)
 
     if out_dir:
-        # the echo must describe the STUDENT's layout, not the teacher's:
-        # per-stage Adam has a schedule count slot iff cosine_lr, never an
-        # EMA slot or a flat optimizer; seed stays the TEACHER's train
-        # seed (it pins the data split for every downstream eval)
-        tr_out = dataclasses.replace(
-            cfg.train, lr=dcfg.lr, batch_size=dcfg.batch_size, seed=seed,
-            lr_schedule="cosine" if dcfg.cosine_lr else "constant",
-            warmup_steps=0, lr_end_fraction=0.0, ema_decay=0.0,
-            flat_optimizer=False)
-        cfg_out = dataclasses.replace(
-            cfg, model=mcfg, train=tr_out,
-            sample=dataclasses.replace(cfg.sample, sampler="pd",
-                                       pd_steps=dcfg.target_steps))
-        _save(out_dir, "best", state, dataset, cfg_out,
-              {"distilled_from": str(teacher_dir),
-               "target_steps": dcfg.target_steps,
-               "stages": [dataclasses.asdict(s) for s in stages],
-               "best_val_loss": stages[-1].val_losses[-1] if stages else
-               float("nan"),
-               "epoch": sum(len(s.losses) for s in stages)})
+        _save_student(out_dir, state, dcfg.target_steps, stages, cfg, mcfg,
+                      dcfg, seed, teacher_dir, dataset)
 
     return DistillResult(state, stages, dcfg.target_steps)
+
+
+def _save_student(dir_, state, steps, stages, cfg, mcfg, dcfg, seed,
+                  teacher_dir, dataset):
+    """Checkpoint a student with a complete, layout-true config echo.
+
+    The echo must describe the STUDENT's layout, not the teacher's:
+    per-stage Adam has a schedule count slot iff cosine_lr, never an EMA
+    slot or a flat optimizer; seed stays the TEACHER's train seed (it
+    pins the data split for every downstream eval)."""
+    tr_out = dataclasses.replace(
+        cfg.train, lr=dcfg.lr, batch_size=dcfg.batch_size, seed=seed,
+        lr_schedule="cosine" if dcfg.cosine_lr else "constant",
+        warmup_steps=0, lr_end_fraction=0.0, ema_decay=0.0,
+        flat_optimizer=False)
+    cfg_out = dataclasses.replace(
+        cfg, model=mcfg, train=tr_out,
+        sample=dataclasses.replace(cfg.sample, sampler="pd",
+                                   pd_steps=steps))
+    _save(dir_, "best", state, dataset, cfg_out,
+          {"distilled_from": str(teacher_dir), "target_steps": steps,
+           "stages": [dataclasses.asdict(s) for s in stages],
+           "best_val_loss": stages[-1].val_losses[-1] if stages else
+           float("nan"),
+           "epoch": sum(len(s.losses) for s in stages)})

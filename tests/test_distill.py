@@ -69,10 +69,16 @@ def test_distill_end_to_end_v_teacher(tiny_dataset, tmp_path):
     train(cfg, tiny_dataset)
 
     dcfg = DistillConfig(target_steps=2, start_steps=8, epochs_per_stage=3,
-                         lr=1e-4, batch_size=16, seed=0)
+                         lr=1e-4, batch_size=16, seed=0, save_stages=True)
     out = str(tmp_path / "student")
     res = distill(cfg, dcfg, tiny_dataset,
                   teacher_dir=cfg.train.checkpoint_dir, out_dir=out)
+
+    # save_stages: every halving's student lands with its OWN echo
+    for n in (4, 2):
+        s = saved_config(f"{out}/pd{n}")
+        assert s["sample"]["pd_steps"] == n
+        assert s["model"]["parameterization"] == "v"
 
     # v teacher: no conversion stage; halvings 8->4->2
     assert [s.kind for s in res.stages] == ["halve", "halve"]
