@@ -276,3 +276,29 @@ def test_mega_plan_mesh_gate():
         assert mega_mod.mega_plan(model, 64, 8, mesh) is None
     finally:
         mega_mod.jax.default_backend = orig
+
+
+def test_distill_on_mesh_matches_single_device(tiny_dataset, tmp_path):
+    """Progressive distillation over a DP mesh (scanned slabs carry the
+    batch sharding; student grads all-reduced by GSPMD) reproduces the
+    single-device stage losses."""
+    from ertdx.distill import DistillConfig, distill
+    cfg = configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=8),
+        model=dataclasses.replace(configs.ModelConfig(), cond_length=96,
+                                  cond_channels=4, parameterization="v"),
+        train=dataclasses.replace(configs.TrainConfig(), num_epochs=2,
+                                  batch_size=16, log_every=100,
+                                  checkpoint_dir=str(tmp_path / "t")),
+    )
+    train(cfg, tiny_dataset)
+    dcfg = DistillConfig(target_steps=2, start_steps=4, epochs_per_stage=2,
+                         batch_size=16, seed=3)
+    res = distill(cfg, dcfg, tiny_dataset,
+                  teacher_dir=cfg.train.checkpoint_dir)
+    mesh = make_mesh(data=8)
+    res_m = distill(cfg, dcfg, tiny_dataset,
+                    teacher_dir=cfg.train.checkpoint_dir, mesh=mesh)
+    for s, sm in zip(res.stages, res_m.stages):
+        np.testing.assert_allclose(s.losses, sm.losses, rtol=1e-5)
+        np.testing.assert_allclose(s.val_losses, sm.val_losses, rtol=1e-5)
