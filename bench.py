@@ -362,10 +362,16 @@ def _measure_uq_testset(model_name: str, n_test: int = 508,
                         ddim_steps=50, ddim_eta=1.0, temperature=1.5)
     dpmpp = SampleConfig(uncertainty_samples=n_real, sampler="dpmpp",
                          dpmpp_steps=15, temperature=1.5)
+    # the 4-step distilled-student program (ertdx.distill; weights here
+    # are bench-random — this measures the serving-cost floor, quality
+    # evidence lives in docs/results/flagship_fullscale/distill_s42.json)
+    pd4 = SampleConfig(uncertainty_samples=n_real, sampler="pd",
+                       pd_steps=4, temperature=1.5)
     out = {"uq_testset_shape": f"{n_test}x{n_real}xT{T}"}
     for label, bsz, scfg in (("", batch, anc), ("_1dispatch", n_test, anc),
                              ("_ddim50", batch, ddim),
-                             ("_dpmpp15", batch, dpmpp)):
+                             ("_dpmpp15", batch, dpmpp),
+                             ("_pd4", batch, pd4)):
         # warm (compiles each distinct batch shape once)
         posterior_over_dataset(model, state.params, conds[:bsz], sch,
                                jax.random.key(0), scaler,
