@@ -352,7 +352,8 @@ def cmd_distill(args) -> int:
         epochs_per_stage=args.epochs_per_stage,
         convert_epochs=args.convert_epochs, lr=args.lr,
         cosine_lr=not args.constant_lr, batch_size=args.batch_size,
-        seed=args.seed, use_ema_teacher=args.ema)
+        seed=args.seed, use_ema_teacher=args.ema,
+        guidance_scale=args.guidance)
     mesh = make_mesh(data=args.mesh_data) if args.mesh_data else None
     logger = MetricsLogger(args.log_file, echo=True)
     res = distill(cfg, dcfg, ds, teacher_dir=args.checkpoint_dir,
@@ -618,6 +619,10 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("--seed", type=int, default=42)
     di.add_argument("--ema", action="store_true",
                     help="distill from the teacher's EMA weights")
+    di.add_argument("--guidance", type=float, default=1.0,
+                    help="guided distillation: bake this CFG scale into "
+                         "the student (teacher must be CFG-trained); the "
+                         "student then samples unguided at 1x cost")
     di.add_argument("--mesh-data", type=int, default=0)
     di.add_argument("--log-file", default=None)
     di.set_defaults(fn=cmd_distill)

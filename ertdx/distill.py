@@ -83,6 +83,14 @@ class DistillConfig:
                                    # student under <out_dir>/pd<N> (each
                                    # with its own pd_steps=N echo), so one
                                    # run yields samplers at every halving
+    guidance_scale: float = 1.0    # != 1: guided distillation (Meng et
+                                   # al. 2023, arXiv:2210.03142) — the
+                                   # teacher runs classifier-free-guided
+                                   # (eps_u + g (eps_c - eps_u); needs a
+                                   # CFG-trained teacher, uncond_prob>0)
+                                   # and the student BAKES the guidance in:
+                                   # it samples unguided at 1x denoiser
+                                   # cost instead of the teacher's 2x
 
 
 @dataclasses.dataclass
@@ -135,9 +143,45 @@ def one_step_target(x, x_dst, ab_t, ab_dst):
     return (x_dst - sr * x) / (jnp.sqrt(ab_dst) - sr * jnp.sqrt(ab_t))
 
 
+def _make_teacher_fn(apply_fn: Callable, guidance: float):
+    """(prep, call) pair for teacher raw outputs. prep encodes the
+    condition ONCE per batch; with guidance != 1 call runs the
+    classifier-free-guided combination out_u + g (out_c - out_u) — valid
+    for eps AND v outputs (both are affine in each other at fixed x, t,
+    so the guided eps equals the eps of the guided v)."""
+    if float(guidance) == 1.0:
+        def prep(teacher_params, cond, n_batch):
+            del n_batch
+            return apply_fn({"params": teacher_params}, cond,
+                            method="encode_condition")
+
+        def call(teacher_params, x, t, ctxs):
+            return apply_fn({"params": teacher_params}, x, t, ctxs,
+                            method="denoise")
+        return prep, call
+
+    def prep(teacher_params, cond, n_batch):
+        ctx_c = apply_fn({"params": teacher_params}, cond,
+                         method="encode_condition")
+        ctx_u = apply_fn({"params": teacher_params}, ctx_c,
+                         jnp.ones((n_batch,), bool),
+                         method="drop_condition")
+        return ctx_c, ctx_u
+
+    def call(teacher_params, x, t, ctxs):
+        ctx_c, ctx_u = ctxs
+        out_c = apply_fn({"params": teacher_params}, x, t, ctx_c,
+                         method="denoise")
+        out_u = apply_fn({"params": teacher_params}, x, t, ctx_u,
+                         method="denoise")
+        return out_u + guidance * (out_c - out_u)
+    return prep, call
+
+
 def make_distill_epoch(apply_fn: Callable, T: int, n_student: int,
                        teacher_kind: str, student_kind: str = "v",
-                       batch_shard=None, donate: bool = True):
+                       batch_shard=None, donate: bool = True,
+                       guidance: float = 1.0):
     """One halving stage's epoch: teacher at 2*n_student grid points,
     student at n_student. Returns
     epoch(state, teacher_params, x0_all, cond_all, batch_idx, key)
@@ -162,6 +206,7 @@ def make_distill_epoch(apply_fn: Callable, T: int, n_student: int,
     t_tbl = jnp.asarray(np.stack([ts_stu, ts_tea[0::2]], axis=1), jnp.int32)
     ab_tbl = jnp.asarray(np.stack([abar_t, abar_mid, abar_dst], axis=1),
                          jnp.float32)
+    t_prep, t_call = _make_teacher_fn(apply_fn, guidance)
 
     def batch_loss(params, teacher_params, x0, cond, key):
         kt, kn = jax.random.split(key)
@@ -181,15 +226,12 @@ def make_distill_epoch(apply_fn: Callable, T: int, n_student: int,
         x = a_t * x0 + s_t * noise
 
         # ---- two teacher DDIM (eta=0) steps, grads stopped ----
-        ctx_t = apply_fn({"params": teacher_params}, cond,
-                         method="encode_condition")
-        out1 = apply_fn({"params": teacher_params}, x, t, ctx_t,
-                        method="denoise")
+        ctx_t = t_prep(teacher_params, cond, B)
+        out1 = t_call(teacher_params, x, t, ctx_t)
         eps1 = _eps_from_out(out1, x, a_t, s_t, teacher_kind)
         x0h1 = _x0_from_out(out1, x, a_t, s_t, teacher_kind)
         x_mid = a_mid * x0h1 + s_mid * eps1
-        out2 = apply_fn({"params": teacher_params}, x_mid, t_mid, ctx_t,
-                        method="denoise")
+        out2 = t_call(teacher_params, x_mid, t_mid, ctx_t)
         eps2 = _eps_from_out(out2, x_mid, a_mid, s_mid, teacher_kind)
         x0h2 = _x0_from_out(out2, x_mid, a_mid, s_mid, teacher_kind)
         x_dst = a_dst * x0h2 + s_dst * eps2
@@ -210,12 +252,14 @@ def make_distill_epoch(apply_fn: Callable, T: int, n_student: int,
 
 def make_convert_epoch(apply_fn: Callable, T: int, teacher_kind: str,
                        student_kind: str = "v", batch_shard=None,
-                       donate: bool = True):
+                       donate: bool = True, guidance: float = 1.0):
     """Same-grid conversion stage: the student's x0 prediction regresses
     onto the (stop-grad) teacher's x0 prediction at uniformly drawn t —
-    re-parameterizes an eps teacher to v without changing its map."""
+    re-parameterizes an eps teacher to v (and, with guidance != 1, bakes
+    the guided combination in) without stepping the chain."""
     sch = get_diffusion_schedule(T)
     abar_all = jnp.asarray(np.asarray(sch.alpha_bar), jnp.float32)
+    t_prep, t_call = _make_teacher_fn(apply_fn, guidance)
 
     def batch_loss(params, teacher_params, x0, cond, key):
         kt, kn = jax.random.split(key)
@@ -226,10 +270,8 @@ def make_convert_epoch(apply_fn: Callable, T: int, teacher_kind: str,
         noise = jax.random.normal(kn, x0.shape, x0.dtype)
         x = a * x0 + s * noise
 
-        ctx_t = apply_fn({"params": teacher_params}, cond,
-                         method="encode_condition")
-        out_t = apply_fn({"params": teacher_params}, x, t, ctx_t,
-                         method="denoise")
+        out_t = t_call(teacher_params, x, t,
+                       t_prep(teacher_params, cond, B))
         x0_tgt = jax.lax.stop_gradient(
             _x0_from_out(out_t, x, a, s, teacher_kind))
 
@@ -386,14 +428,15 @@ def distill(cfg: ExperimentConfig, dcfg: DistillConfig,
         return st
 
     def run_stage(kind, student_steps, n_epochs, teacher_d, init_params,
-                  stage_key, tkind):
+                  stage_key, tkind, g):
         if kind == "convert":
             epoch_fn, val_fn = make_convert_epoch(
-                model.apply, T, tkind, batch_shard=batch_shard)
+                model.apply, T, tkind, batch_shard=batch_shard,
+                guidance=g)
         else:
             epoch_fn, val_fn = make_distill_epoch(
                 model.apply, T, student_steps, teacher_kind=tkind,
-                batch_shard=batch_shard)
+                batch_shard=batch_shard, guidance=g)
         state = fresh_state(init_params, n_epochs)
         losses, vlosses = [], []
         t0 = time.perf_counter()
@@ -418,18 +461,30 @@ def distill(cfg: ExperimentConfig, dcfg: DistillConfig,
         return state, StageResult(kind, student_steps, losses, vlosses,
                                   time.perf_counter() - t0)
 
+    # guided distillation: the guided combination applies only while the
+    # ORIGINAL teacher is the target — once a student has baked it in
+    # (after the conversion stage, or after the first halving stage),
+    # later stages distill that student unguided
+    g_left = float(dcfg.guidance_scale)
+    if g_left != 1.0 and getattr(model, "uncond_prob", 0.0) <= 0.0:
+        raise ValueError(
+            "guidance_scale != 1 requires a CFG-trained teacher "
+            "(ModelConfig.uncond_prob > 0)")
+
     stages = []
     kinds_done = 0
-    if teacher_kind != "v" and dcfg.convert_epochs > 0:
+    if (teacher_kind != "v" or g_left != 1.0) and dcfg.convert_epochs > 0:
         key = jax.random.fold_in(root_key, kinds_done)
         state, sr = run_stage("convert", start, dcfg.convert_epochs,
-                              teacher_d, teacher_params, key, teacher_kind)
+                              teacher_d, teacher_params, key, teacher_kind,
+                              g_left)
         stages.append(sr)
         teacher_d = jax.device_put(
             jax.tree_util.tree_map(jnp.copy, state.params),
             replicated(mesh) if mesh is not None else None)
         teacher_params = state.params
         teacher_kind = "v"
+        g_left = 1.0
         kinds_done += 1
 
     state = None
@@ -437,7 +492,8 @@ def distill(cfg: ExperimentConfig, dcfg: DistillConfig,
         key = jax.random.fold_in(root_key, kinds_done + si)
         state, sr = run_stage("halve", n_teacher // 2,
                               dcfg.epochs_per_stage, teacher_d,
-                              teacher_params, key, teacher_kind)
+                              teacher_params, key, teacher_kind, g_left)
+        g_left = 1.0
         stages.append(sr)
         if out_dir and dcfg.save_stages:
             _save_student(f"{out_dir}/pd{n_teacher // 2}", state,
@@ -474,10 +530,13 @@ def _save_student(dir_, state, steps, stages, cfg, mcfg, dcfg, seed,
         flat_optimizer=False)
     cfg_out = dataclasses.replace(
         cfg, model=mcfg, train=tr_out,
+        # guidance_scale=1: a guided-distilled student BAKES the guidance
+        # in — sampling it guided would double-apply it (and 2x the cost)
         sample=dataclasses.replace(cfg.sample, sampler="pd",
-                                   pd_steps=steps))
+                                   pd_steps=steps, guidance_scale=1.0))
     _save(dir_, "best", state, dataset, cfg_out,
           {"distilled_from": str(teacher_dir), "target_steps": steps,
+           "baked_guidance_scale": dcfg.guidance_scale,
            "stages": [dataclasses.asdict(s) for s in stages],
            "best_val_loss": stages[-1].val_losses[-1] if stages else
            float("nan"),

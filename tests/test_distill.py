@@ -209,3 +209,68 @@ def test_sample_pd_matches_student_grid(tiny_dataset, tmp_path):
         sample_pd(spy, jax.random.key(0), (2, 3), sch, num_steps=4)
     want = list(np.asarray(pd_grid(16, 4))[::-1])
     assert seen == want
+
+
+def test_guided_distillation_bakes_cfg(tiny_dataset, tmp_path):
+    """Guided distillation (arXiv:2210.03142): the conversion stage with
+    guidance g must produce a student whose UNGUIDED samples match the
+    teacher sampled WITH guidance g — at half the denoiser calls/step."""
+    cfg = configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=16),
+        model=dataclasses.replace(configs.ModelConfig(), cond_length=96,
+                                  cond_channels=4, uncond_prob=0.2),
+        train=dataclasses.replace(configs.TrainConfig(), num_epochs=6,
+                                  batch_size=16, log_every=100,
+                                  checkpoint_dir=str(tmp_path / "t")),
+    )
+    tres = train(cfg, tiny_dataset)
+    g = 2.5
+
+    dcfg = DistillConfig(target_steps=4, start_steps=4, convert_epochs=40,
+                         epochs_per_stage=2, lr=3e-4, batch_size=16,
+                         seed=7, cosine_lr=False, guidance_scale=g)
+    out = str(tmp_path / "student")
+    res = distill(cfg, dcfg, tiny_dataset,
+                  teacher_dir=cfg.train.checkpoint_dir, out_dir=out)
+    assert [s.kind for s in res.stages] == ["convert"]
+
+    sch = get_diffusion_schedule(16)
+    cond = jnp.asarray(tiny_dataset.conditions[:3])
+    # teacher sampled WITH guidance (2x denoiser calls per step)
+    m = build_model(cfg.model)
+    scfg_g = configs.SampleConfig(sampler="pd", pd_steps=4,
+                                  guidance_scale=g)
+    u_t = posterior_ensemble(m, tres.state.params, cond, sch,
+                             jax.random.key(11), n_realizations=6,
+                             scfg=scfg_g)
+    # student sampled UNGUIDED
+    m_v = build_model(dataclasses.replace(cfg.model, parameterization="v"))
+    scfg_u = configs.SampleConfig(sampler="pd", pd_steps=4)
+    u_s = posterior_ensemble(m_v, res.state.params, cond, sch,
+                             jax.random.key(11), n_realizations=6,
+                             scfg=scfg_u)
+    err = np.abs(np.asarray(u_s) - np.asarray(u_t)).mean()
+    spread = np.asarray(u_t).std()
+    assert err < 0.5 * spread, (err, spread)
+    # ...and is measurably DIFFERENT from the unguided teacher map
+    u_t1 = posterior_ensemble(m, tres.state.params, cond, sch,
+                              jax.random.key(11), n_realizations=6,
+                              scfg=configs.SampleConfig(sampler="pd",
+                                                        pd_steps=4))
+    err_unguided = np.abs(np.asarray(u_s) - np.asarray(u_t1)).mean()
+    assert err < err_unguided, (err, err_unguided)
+
+    # the student's echo pins guidance_scale back to 1 (baked in)
+    saved = saved_config(out)
+    assert saved["sample"]["guidance_scale"] == 1.0
+    assert saved["sample"]["sampler"] == "pd"
+
+
+def test_guided_distillation_requires_cfg_teacher(tiny_dataset, tmp_path):
+    cfg = _teacher_cfg(tmp_path)
+    train(cfg, tiny_dataset)
+    with pytest.raises(ValueError, match="uncond_prob"):
+        distill(cfg, DistillConfig(target_steps=4, start_steps=8,
+                                   epochs_per_stage=1, guidance_scale=2.0,
+                                   batch_size=16),
+                tiny_dataset, teacher_dir=cfg.train.checkpoint_dir)
