@@ -168,7 +168,7 @@ def run(seed: int, epochs: int, start_steps: int, target_steps: int,
     path = OUT / f"distill_s{seed}.json"
     if path.exists():
         prior = json.loads(path.read_text())
-        prior.get("arms", {}).update(out["arms"])
+        prior.setdefault("arms", {}).update(out["arms"])
         out["arms"] = prior["arms"]
     path.write_text(json.dumps(out))
     return out

@@ -141,7 +141,7 @@ def main() -> int:
                   else f"ddim_uq_{tag}_s{args.seed}.json")
     if path.exists():
         prior = json.loads(path.read_text())
-        prior.get("arms", {}).update(out["arms"])
+        prior.setdefault("arms", {}).update(out["arms"])
         out["arms"] = prior["arms"]
     path.write_text(json.dumps(out))
     return 0

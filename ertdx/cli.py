@@ -341,9 +341,10 @@ def cmd_distill(args) -> int:
     cfg = _load_cfg(args, adopt_checkpoint=True)
     sim_param = np.load(args.params)
     ert = np.load(args.ert)
-    from .train import load_best_model
-    # restore scalers first so the dataset transforms match training
-    _, _, scalers = load_best_model(args.checkpoint_dir, cfg, None)
+    # scalers only (the dataset transforms must match training) — the
+    # teacher state itself is restored once, inside distill()
+    from .utils.checkpoint import load_scalers
+    scalers = load_scalers(Path(args.checkpoint_dir) / "best")
     ds = data_lib.prepare_dataset(sim_param, ert,
                                   param_scaler=scalers.get("param_scaler"),
                                   ert_scaler=scalers.get("ert_scaler"))

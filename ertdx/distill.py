@@ -178,12 +178,14 @@ def _make_teacher_fn(apply_fn: Callable, guidance: float):
     return prep, call
 
 
-def make_distill_epoch(apply_fn: Callable, T: int, n_student: int,
+def make_distill_epoch(apply_fn: Callable, schedule, n_student: int,
                        teacher_kind: str, student_kind: str = "v",
                        batch_shard=None, donate: bool = True,
                        guidance: float = 1.0):
     """One halving stage's epoch: teacher at 2*n_student grid points,
-    student at n_student. Returns
+    student at n_student. `schedule` is the TEACHER's DiffusionSchedule
+    (custom betas included — a default-schedule rebuild here would
+    silently noise/step on the wrong alpha_bar). Returns
     epoch(state, teacher_params, x0_all, cond_all, batch_idx, key)
       -> (state, mean loss).
 
@@ -191,12 +193,12 @@ def make_distill_epoch(apply_fn: Callable, T: int, n_student: int,
     over as NUMPY constants (they bake into the program like shapes do);
     everything array-sized is a jit argument.
     """
+    T = schedule.num_steps
     ts_stu = np.asarray(pd_grid(T, n_student))           # (N,)
     ts_tea = np.asarray(pd_grid(T, 2 * n_student))       # (2N,)
     # nesting invariant: the student's point i IS the teacher's 2i+1
     assert (ts_tea[1::2] == ts_stu).all()
-    sch = get_diffusion_schedule(T)
-    abar = np.asarray(sch.alpha_bar, np.float64)
+    abar = np.asarray(schedule.alpha_bar, np.float64)
     abar_t = abar[ts_stu]                                # (N,)
     abar_mid = abar[ts_tea[0::2]]                        # (N,) teacher mid
     # two teacher steps land on the PREVIOUS student grid point; for the
@@ -208,7 +210,7 @@ def make_distill_epoch(apply_fn: Callable, T: int, n_student: int,
                          jnp.float32)
     t_prep, t_call = _make_teacher_fn(apply_fn, guidance)
 
-    def batch_loss(params, teacher_params, x0, cond, key):
+    def batch_loss(params, teacher_params, x0, cond, key, w=None):
         kt, kn = jax.random.split(key)
         B = x0.shape[0]
         i = jax.random.randint(kt, (B,), 0, n_student, dtype=jnp.int32)
@@ -244,24 +246,34 @@ def make_distill_epoch(apply_fn: Callable, T: int, n_student: int,
                          method="encode_condition")
         out_s = apply_fn({"params": params}, x, t, ctx_s, method="denoise")
         x0_pred = _x0_from_out(out_s, x, a_t, s_t, student_kind)
-        w = _snr_weight(ab_t)
-        return jnp.mean(w * (x0_pred - x0_tgt) ** 2)
+        per_ex = jnp.mean(_snr_weight(ab_t) * (x0_pred - x0_tgt) ** 2,
+                          axis=-1)
+        return _weighted_mean(per_ex, w)
 
     return _build_epoch(batch_loss, batch_shard, donate)
 
 
-def make_convert_epoch(apply_fn: Callable, T: int, teacher_kind: str,
+def _weighted_mean(per_ex, w):
+    """Plain mean for the train path (w=None); padded-row-exact weighted
+    mean for validation (mirrors train.weighted_eps_mse)."""
+    if w is None:
+        return jnp.mean(per_ex)
+    return jnp.sum(per_ex * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def make_convert_epoch(apply_fn: Callable, schedule, teacher_kind: str,
                        student_kind: str = "v", batch_shard=None,
                        donate: bool = True, guidance: float = 1.0):
     """Same-grid conversion stage: the student's x0 prediction regresses
     onto the (stop-grad) teacher's x0 prediction at uniformly drawn t —
     re-parameterizes an eps teacher to v (and, with guidance != 1, bakes
-    the guided combination in) without stepping the chain."""
-    sch = get_diffusion_schedule(T)
-    abar_all = jnp.asarray(np.asarray(sch.alpha_bar), jnp.float32)
+    the guided combination in) without stepping the chain. `schedule` is
+    the teacher's DiffusionSchedule (custom betas included)."""
+    T = schedule.num_steps
+    abar_all = jnp.asarray(np.asarray(schedule.alpha_bar), jnp.float32)
     t_prep, t_call = _make_teacher_fn(apply_fn, guidance)
 
-    def batch_loss(params, teacher_params, x0, cond, key):
+    def batch_loss(params, teacher_params, x0, cond, key, w=None):
         kt, kn = jax.random.split(key)
         B = x0.shape[0]
         t = jax.random.randint(kt, (B,), 0, T, dtype=jnp.int32)
@@ -279,7 +291,9 @@ def make_convert_epoch(apply_fn: Callable, T: int, teacher_kind: str,
                          method="encode_condition")
         out_s = apply_fn({"params": params}, x, t, ctx_s, method="denoise")
         x0_pred = _x0_from_out(out_s, x, a, s, student_kind)
-        return jnp.mean(_snr_weight(ab) * (x0_pred - x0_tgt) ** 2)
+        per_ex = jnp.mean(_snr_weight(ab) * (x0_pred - x0_tgt) ** 2,
+                          axis=-1)
+        return _weighted_mean(per_ex, w)
 
     return _build_epoch(batch_loss, batch_shard, donate)
 
@@ -325,9 +339,10 @@ def _build_epoch(batch_loss: Callable, batch_shard, donate: bool):
 
         def body(_, inp):
             x0, cond, w, k = inp
-            # tail weights select whole examples; the per-batch loss is a
-            # mean, so weight the batch means by their live-row fraction
-            loss = batch_loss(params, teacher_params, x0, cond, k)
+            # padded-row-exact: batch_loss weights per-example losses by
+            # w (the wrapped tail duplicates carry w=0), so aggregating
+            # the weighted means by live-row count is the exact val mean
+            loss = batch_loss(params, teacher_params, x0, cond, k, w)
             return None, (loss * jnp.sum(w), jnp.sum(w))
 
         keys = jax.random.split(key, nb)
@@ -360,21 +375,42 @@ def distill(cfg: ExperimentConfig, dcfg: DistillConfig,
     """Progressively distill a trained checkpoint down to
     dcfg.target_steps denoiser calls.
 
-    `cfg` is the experiment the teacher was trained under (the checkpoint's
-    config echo wins for layout fields, exactly like `ertdiff sample`);
-    `teacher_dir` is its checkpoint dir. The final student is saved under
-    `out_dir`/best with a config echo carrying parameterization="v" and
+    `cfg` is the experiment the teacher was trained under; the
+    checkpoint's config echo WINS over it wholesale (model layout,
+    schedule betas, split fractions, train seed — like `ertdiff
+    sample`), so a plain default cfg works. `teacher_dir` is its
+    checkpoint dir. The final student is saved under `out_dir`/best with
+    a config echo carrying parameterization="v" and
     sampler="pd"/pd_steps=target, so every restore path just works.
     """
     logger = logger or MetricsLogger(echo=False)
-    T = cfg.diffusion.T
-    start = min(dcfg.start_steps, T)
-    stages_n = _halvings(start, dcfg.target_steps)
 
-    # ---- teacher restore (echo-aware) ----
-    t_state, _, _ = load_best_model(teacher_dir, cfg, dataset)
+    # ---- teacher restore; the checkpoint's config echo WINS over the
+    # caller's cfg for everything the teacher fixed (model layout incl.
+    # uncond_prob, schedule betas, split fractions, train seed) — the
+    # student's noising/stepping must happen on the TEACHER's schedule
+    # and the caller may pass a plain default cfg ----
+    from . import configs as configs_lib
     from .train import saved_config
     saved = saved_config(teacher_dir) or {}
+    if saved:
+        cfg = configs_lib.experiment_from_dict(saved, base=cfg)
+    T = cfg.diffusion.T
+    schedule = get_diffusion_schedule(T, cfg.diffusion.beta_start,
+                                      cfg.diffusion.beta_end)
+    if dcfg.target_steps > T:
+        raise ValueError(f"target_steps {dcfg.target_steps} > teacher "
+                         f"schedule T {T}")
+    # validate the 2**k relation on the REQUESTED grid, then clamp to the
+    # largest valid grid <= T (e.g. start 512 over T=500 -> 256; a plain
+    # min() would produce a non-halvable 500)
+    _halvings(dcfg.start_steps, dcfg.target_steps)
+    start = dcfg.target_steps
+    while start * 2 <= min(dcfg.start_steps, T):
+        start *= 2
+    stages_n = _halvings(start, dcfg.target_steps)
+
+    t_state, _, _ = load_best_model(teacher_dir, cfg, dataset)
     teacher_kind = saved.get("model", {}).get(
         "parameterization", cfg.model.parameterization)
     teacher_params = (t_state.ema_params if dcfg.use_ema_teacher
@@ -431,11 +467,11 @@ def distill(cfg: ExperimentConfig, dcfg: DistillConfig,
                   stage_key, tkind, g):
         if kind == "convert":
             epoch_fn, val_fn = make_convert_epoch(
-                model.apply, T, tkind, batch_shard=batch_shard,
+                model.apply, schedule, tkind, batch_shard=batch_shard,
                 guidance=g)
         else:
             epoch_fn, val_fn = make_distill_epoch(
-                model.apply, T, student_steps, teacher_kind=tkind,
+                model.apply, schedule, student_steps, teacher_kind=tkind,
                 batch_shard=batch_shard, guidance=g)
         state = fresh_state(init_params, n_epochs)
         losses, vlosses = [], []
@@ -506,6 +542,15 @@ def distill(cfg: ExperimentConfig, dcfg: DistillConfig,
         teacher_kind = "v"
 
     if state is None:                      # convert-only (start == target)
+        if teacher_kind != "v" or g_left != 1.0:
+            # nothing ran: saving raw eps weights under a v echo (or an
+            # unguided teacher as a "guided" student) would silently
+            # produce wrong samples at restore
+            raise ValueError(
+                "nothing to distill: start_steps == target_steps and the "
+                "conversion stage is disabled (convert_epochs=0) for a "
+                f"{teacher_kind!r} teacher with guidance "
+                f"{dcfg.guidance_scale}")
         state = fresh_state(teacher_params, 1)
 
     if out_dir:

@@ -69,8 +69,15 @@ def restore_checkpoint(ckpt_dir, state_template
     meta_path = ckpt_dir / "meta.json"
     if meta_path.exists():
         meta = json.loads(meta_path.read_text())
+    return state, meta, load_scalers(ckpt_dir)
+
+
+def load_scalers(ckpt_dir) -> Dict[str, MinMaxScaler]:
+    """Scalers only — no state deserialization (callers that just need
+    the data transforms, e.g. `ertdiff distill`, skip the ~40 MB
+    state.msgpack parse)."""
     scalers = {}
-    sc_path = ckpt_dir / "scalers.npz"
+    sc_path = Path(ckpt_dir) / "scalers.npz"
     if sc_path.exists():
         with np.load(sc_path) as z:
             names = sorted({k.split(".")[0] for k in z.files})
@@ -78,7 +85,7 @@ def restore_checkpoint(ckpt_dir, state_template
                 scalers[name] = MinMaxScaler.from_state_dict(
                     {k.split(".", 1)[1]: z[k] for k in z.files
                      if k.startswith(name + ".")})
-    return state, meta, scalers
+    return scalers
 
 
 def _json_default(o):

@@ -274,3 +274,72 @@ def test_guided_distillation_requires_cfg_teacher(tiny_dataset, tmp_path):
                                    epochs_per_stage=1, guidance_scale=2.0,
                                    batch_size=16),
                 tiny_dataset, teacher_dir=cfg.train.checkpoint_dir)
+
+
+def test_distill_adopts_teacher_echo(tiny_dataset, tmp_path):
+    """A PLAIN default cfg must work: the teacher checkpoint's echo wins
+    for arch (hidden_dim), schedule (T, betas), CFG dropout, and seed —
+    review fix: distill() previously built the student from the caller's
+    cfg and crashed (or silently used wrong alpha_bar) on mismatch."""
+    cfg = configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=12, beta_end=0.05),
+        model=dataclasses.replace(configs.ModelConfig(), cond_length=96,
+                                  cond_channels=4, hidden_dim=64,
+                                  uncond_prob=0.2),
+        train=dataclasses.replace(configs.TrainConfig(), num_epochs=3,
+                                  batch_size=16, log_every=100, seed=7,
+                                  checkpoint_dir=str(tmp_path / "t")),
+    )
+    train(cfg, tiny_dataset)
+
+    plain = configs.ExperimentConfig()   # caller knows NOTHING
+    out = str(tmp_path / "student")
+    res = distill(plain, DistillConfig(target_steps=2, start_steps=4,
+                                       epochs_per_stage=1,
+                                       convert_epochs=1, batch_size=16,
+                                       guidance_scale=1.5),
+                  tiny_dataset, teacher_dir=cfg.train.checkpoint_dir,
+                  out_dir=out)
+    # guided conversion ran (uncond_prob adopted from the echo) and the
+    # student echo carries the teacher's schedule + arch
+    assert res.stages[0].kind == "convert"
+    saved = saved_config(out)
+    assert saved["diffusion"]["T"] == 12
+    assert saved["diffusion"]["beta_end"] == 0.05
+    assert saved["model"]["hidden_dim"] == 64
+    assert saved["train"]["seed"] == 7
+    assert np.isfinite(res.stages[-1].val_losses).all()
+
+
+def test_distill_start_steps_clamps_to_halvable_grid(tiny_dataset,
+                                                     tmp_path):
+    """start_steps > T clamps to the LARGEST target*2**k <= T (a plain
+    min() would demand halving a non-power grid and raise a confusing
+    error citing a number the caller never passed)."""
+    cfg = _teacher_cfg(tmp_path)         # T = 16
+    train(cfg, tiny_dataset)
+    res = distill(cfg, DistillConfig(target_steps=4, start_steps=512,
+                                     epochs_per_stage=1, batch_size=16),
+                  tiny_dataset, teacher_dir=cfg.train.checkpoint_dir)
+    assert [s.student_steps for s in res.stages] == [8, 4]
+    # but a genuinely non-halvable REQUEST still raises up front
+    with pytest.raises(ValueError, match="2\\*\\*k"):
+        distill(cfg, DistillConfig(target_steps=4, start_steps=48,
+                                   epochs_per_stage=1, batch_size=16),
+                tiny_dataset, teacher_dir=cfg.train.checkpoint_dir)
+    with pytest.raises(ValueError, match="target_steps"):
+        distill(cfg, DistillConfig(target_steps=32, start_steps=32,
+                                   epochs_per_stage=1, batch_size=16),
+                tiny_dataset, teacher_dir=cfg.train.checkpoint_dir)
+
+
+def test_distill_refuses_silent_noop(tiny_dataset, tmp_path):
+    """eps teacher + convert_epochs=0 + start==target would save raw eps
+    weights under a v echo — must raise, not silently mislabel."""
+    cfg = _teacher_cfg(tmp_path, parameterization="eps")
+    train(cfg, tiny_dataset)
+    with pytest.raises(ValueError, match="nothing to distill"):
+        distill(cfg, DistillConfig(target_steps=4, start_steps=4,
+                                   convert_epochs=0, epochs_per_stage=1,
+                                   batch_size=16),
+                tiny_dataset, teacher_dir=cfg.train.checkpoint_dir)
