@@ -14,6 +14,9 @@ so each step count is evaluated from ONE distillation run.
 Usage (TPU):
   python benchmarks/distill_fullscale.py run [--seed 42] [--epochs 500]
       [--start-steps 64] [--target-steps 1] [--epochs-per-stage 60]
+  # guided distillation: CFG teacher (uncond_prob) + baked scale
+  python benchmarks/distill_fullscale.py run --uncond-prob 0.1 \
+      --guidance-scale 0.5    # -> distill_guided_s{seed}.json
   python benchmarks/distill_fullscale.py report
 
 Artifacts: docs/results/flagship_fullscale/condunet-v_s{seed}/ (teacher)
@@ -36,13 +39,15 @@ from parity_500ep import BATCH, C, L, LR, N, T, make_dataset  # noqa: E402
 from flagship_fullscale import N_REAL, OUT, UQ_BATCH  # noqa: E402
 
 
-def teacher_cfg(seed: int, epochs: int, ckdir: str):
+def teacher_cfg(seed: int, epochs: int, ckdir: str,
+                uncond_prob: float = 0.0):
     from ertdx import configs
     return configs.ExperimentConfig(
         diffusion=configs.DiffusionConfig(T=T),
         model=dataclasses.replace(configs.ModelConfig(), name="condunet",
                                   cond_length=L, cond_channels=C,
-                                  parameterization="v"),
+                                  parameterization="v",
+                                  uncond_prob=uncond_prob),
         train=dataclasses.replace(
             configs.TrainConfig(), num_epochs=epochs, batch_size=BATCH,
             lr=LR, seed=seed, checkpoint_dir=ckdir, log_every=100,
@@ -50,7 +55,8 @@ def teacher_cfg(seed: int, epochs: int, ckdir: str):
 
 
 def run(seed: int, epochs: int, start_steps: int, target_steps: int,
-        epochs_per_stage: int, temps, skip_train: bool = False) -> dict:
+        epochs_per_stage: int, temps, skip_train: bool = False,
+        uncond_prob: float = 0.0, guidance_scale: float = 1.0) -> dict:
     import jax
 
     from ertdx import configs, data as data_lib
@@ -62,10 +68,15 @@ def run(seed: int, epochs: int, start_steps: int, target_steps: int,
     from ertdx.train import load_best_model, train
     from ertdx.transforms import inverse_transform
 
-    rdir = OUT / f"condunet-v_s{seed}"
+    guided = guidance_scale != 1.0
+    if guided and uncond_prob <= 0.0:
+        raise ValueError("guided distillation needs a CFG-trained teacher "
+                         "(--uncond-prob > 0)")
+    tag = "condunet-vcfg" if uncond_prob > 0.0 else "condunet-v"
+    rdir = OUT / f"{tag}_s{seed}"
     rdir.mkdir(parents=True, exist_ok=True)
     ds = make_dataset()
-    cfg = teacher_cfg(seed, epochs, str(rdir / "ckpt"))
+    cfg = teacher_cfg(seed, epochs, str(rdir / "ckpt"), uncond_prob)
 
     # ---- teacher: v-parameterized flagship at the reference budget ----
     if not skip_train:
@@ -82,8 +93,9 @@ def run(seed: int, epochs: int, start_steps: int, target_steps: int,
     dcfg = DistillConfig(target_steps=target_steps,
                          start_steps=start_steps,
                          epochs_per_stage=epochs_per_stage,
-                         batch_size=BATCH, seed=seed, save_stages=True)
-    sdir = rdir / "students"
+                         batch_size=BATCH, seed=seed, save_stages=True,
+                         guidance_scale=guidance_scale)
+    sdir = rdir / ("students_guided" if guided else "students")
     t0 = time.perf_counter()
     dres = distill(cfg, dcfg, ds, teacher_dir=str(rdir / "ckpt"),
                    out_dir=str(sdir))
@@ -122,19 +134,22 @@ def run(seed: int, epochs: int, start_steps: int, target_steps: int,
     model = build_model(dataclasses.replace(cfg.model,
                                             parameterization="v"))
     arms = {}
-    # teacher anchors: full ancestral + dpmpp-15 (the round-3 champions)
+    # teacher anchors: full ancestral + dpmpp-15 (the round-3 champions).
+    # Under guided distillation the teacher anchors run CFG-guided (2x
+    # denoiser cost) — that is the program the student bakes in.
+    g = guidance_scale
     tstate, _, _ = load_best_model(str(rdir / "ckpt"), cfg, ds)
     for temp in temps:
         arms[f"teacher_ancestral_T{temp}"] = run_arm(
             tstate.params, model,
             configs.SampleConfig(uncertainty_samples=N_REAL,
-                                 temperature=temp),
+                                 temperature=temp, guidance_scale=g),
             f"teacher_ancestral_T{temp}")
         arms[f"teacher_dpmpp15_T{temp}"] = run_arm(
             tstate.params, model,
             configs.SampleConfig(uncertainty_samples=N_REAL,
                                  temperature=temp, sampler="dpmpp",
-                                 dpmpp_steps=15),
+                                 dpmpp_steps=15, guidance_scale=g),
             f"teacher_dpmpp15_T{temp}")
 
     # students at every halving (+ the raw teacher on the same pd grids,
@@ -156,16 +171,19 @@ def run(seed: int, epochs: int, start_steps: int, target_steps: int,
                 st.params, model, scfg, f"student_pd{n_steps}_T{temp}")
             if n_steps in (4, 8):
                 arms[f"teacher_pd{n_steps}_T{temp}"] = run_arm(
-                    tstate.params, model, scfg,
+                    tstate.params, model,
+                    dataclasses.replace(scfg, guidance_scale=g),
                     f"teacher_pd{n_steps}_T{temp}")
 
     out = {"seed": seed, "epochs": epochs, "n_real": N_REAL,
            "n_test": int(len(test_idx)), "start_steps": start_steps,
            "target_steps": target_steps,
            "epochs_per_stage": epochs_per_stage,
+           "uncond_prob": uncond_prob, "guidance_scale": guidance_scale,
            "distill_wall_s": round(distill_wall, 1),
            "stages": stage_recs, "arms": arms}
-    path = OUT / f"distill_s{seed}.json"
+    path = OUT / (f"distill_guided_s{seed}.json" if guided
+                  else f"distill_s{seed}.json")
     if path.exists():
         prior = json.loads(path.read_text())
         prior.setdefault("arms", {}).update(out["arms"])
@@ -175,7 +193,7 @@ def run(seed: int, epochs: int, start_steps: int, target_steps: int,
 
 
 def report() -> int:
-    for p in sorted(OUT.glob("distill_s*.json")):
+    for p in sorted(OUT.glob("distill_*s*.json")):
         rec = json.loads(p.read_text())
         print(f"== {p.name} (teacher {rec['epochs']} epochs, "
               f"distill {rec.get('distill_wall_s', '?')}s) ==")
@@ -197,12 +215,18 @@ def main() -> int:
     ap.add_argument("--temps", default="1.0,1.5")
     ap.add_argument("--skip-train", action="store_true",
                     help="teacher checkpoint already exists")
+    ap.add_argument("--uncond-prob", type=float, default=0.0,
+                    help="CFG condition-dropout for the teacher")
+    ap.add_argument("--guidance-scale", type=float, default=1.0,
+                    help="!= 1: guided distillation (bake this CFG scale "
+                         "into the student; needs --uncond-prob > 0)")
     args = ap.parse_args()
     if args.cmd == "report":
         return report()
     run(args.seed, args.epochs, args.start_steps, args.target_steps,
         args.epochs_per_stage, [float(t) for t in args.temps.split(",")],
-        skip_train=args.skip_train)
+        skip_train=args.skip_train, uncond_prob=args.uncond_prob,
+        guidance_scale=args.guidance_scale)
     return 0
 
 
