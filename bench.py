@@ -367,11 +367,16 @@ def _measure_uq_testset(model_name: str, n_test: int = 508,
     # evidence lives in docs/results/flagship_fullscale/distill_s42.json)
     pd4 = SampleConfig(uncertainty_samples=n_real, sampler="pd",
                        pd_steps=4, temperature=1.5)
+    # the 1-call floor: a fully-distilled student (optionally with a CFG
+    # scale baked in — docs/results/flagship_fullscale/
+    # distill_guided_s42.json) runs ONE denoiser call per chain
+    pd1 = SampleConfig(uncertainty_samples=n_real, sampler="pd",
+                       pd_steps=1, temperature=1.5)
     out = {"uq_testset_shape": f"{n_test}x{n_real}xT{T}"}
     for label, bsz, scfg in (("", batch, anc), ("_1dispatch", n_test, anc),
                              ("_ddim50", batch, ddim),
                              ("_dpmpp15", batch, dpmpp),
-                             ("_pd4", batch, pd4)):
+                             ("_pd4", batch, pd4), ("_pd1", batch, pd1)):
         # warm (compiles each distinct batch shape once)
         posterior_over_dataset(model, state.params, conds[:bsz], sch,
                                jax.random.key(0), scaler,
