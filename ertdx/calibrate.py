@@ -29,6 +29,25 @@ from .metrics import uq_scores
 from .sample import posterior_over_dataset
 
 DEFAULT_GRID = (1.0, 1.25, 1.5, 2.0, 3.0)
+DEFAULT_GUIDANCE_GRID = (0.5, 0.7, 1.0, 1.5)
+
+_OBJECTIVES = ("goodness", "accuracy", "precision")
+
+
+def _run_arm(model, params, val_conditions, val_true, schedule, key,
+             param_scaler, run_cfg: SampleConfig, n_realizations: int,
+             batch_size: int, a: float, b: float, mesh) -> dict:
+    """One grid point: sample the val posterior, score it."""
+    pred, mask = posterior_over_dataset(
+        model, params, val_conditions, schedule, key, param_scaler,
+        n_realizations=n_realizations, batch_size=batch_size,
+        scfg=run_cfg, a=a, b=b, mesh=mesh)
+    sc = uq_scores(pred, val_true)
+    return {"accuracy": float(sc["accuracy"]),
+            "precision": float(sc["precision"]),
+            "goodness": float(sc["goodness"]),
+            "valid_fraction": float(mask.mean()),
+            "ensemble_sd_mean": float(pred.std(axis=0).mean())}
 
 
 def calibrate_temperature(model, params, val_conditions: np.ndarray,
@@ -54,7 +73,7 @@ def calibrate_temperature(model, params, val_conditions: np.ndarray,
     {accuracy, precision, goodness, valid_fraction, ensemble_sd_mean}.
     Ties break toward the LOWEST temperature (sharper posterior).
     """
-    if objective not in ("goodness", "accuracy", "precision"):
+    if objective not in _OBJECTIVES:
         raise ValueError(f"unknown objective {objective!r}")
     base = scfg or SampleConfig(uncertainty_samples=n_realizations)
     val_true = np.asarray(val_true)
@@ -63,16 +82,9 @@ def calibrate_temperature(model, params, val_conditions: np.ndarray,
     best_temp, best_val = None, -np.inf
     for temp in temperatures:
         run_cfg = dataclasses.replace(base, temperature=float(temp))
-        pred, mask = posterior_over_dataset(
-            model, params, val_conditions, schedule, key, param_scaler,
-            n_realizations=n_realizations, batch_size=batch_size,
-            scfg=run_cfg, a=a, b=b, mesh=mesh)
-        sc = uq_scores(pred, val_true)
-        rec = {"accuracy": float(sc["accuracy"]),
-               "precision": float(sc["precision"]),
-               "goodness": float(sc["goodness"]),
-               "valid_fraction": float(mask.mean()),
-               "ensemble_sd_mean": float(pred.std(axis=0).mean())}
+        rec = _run_arm(model, params, val_conditions, val_true, schedule,
+                       key, param_scaler, run_cfg, n_realizations,
+                       batch_size, a, b, mesh)
         records[str(float(temp))] = rec
         score = rec[objective]
         # strict > keeps the earlier winner; the explicit tie branch
@@ -88,3 +100,65 @@ def calibrate_temperature(model, params, val_conditions: np.ndarray,
             f"temperature in {list(temperatures)!r} — the posterior is "
             "degenerate on this val split (check valid_fraction)")
     return best_temp, records
+
+
+def calibrate_guidance(model, params, val_conditions: np.ndarray,
+                       val_true: np.ndarray,
+                       schedule: DiffusionSchedule, key: jax.Array,
+                       param_scaler, *,
+                       temperatures: Sequence[float] = DEFAULT_GRID,
+                       guidance_scales: Sequence[float] =
+                       DEFAULT_GUIDANCE_GRID,
+                       objective: str = "goodness",
+                       n_realizations: int = 50,
+                       batch_size: int = 32,
+                       scfg: Optional[SampleConfig] = None,
+                       a: float = 0.0, b: float = 1.0,
+                       mesh=None) -> Tuple[Tuple[float, float],
+                                           Dict[str, dict]]:
+    """Jointly pick (guidance_scale, temperature) maximizing a UQ
+    objective on the validation split.
+
+    The full-scale sweep (docs/results/flagship_fullscale/
+    guidance_s42.json) measured that the two knobs are complementary:
+    temperature restores coverage, guidance dials the accuracy<->
+    precision trade at fixed temperature. Both enter the jitted ensemble
+    program as TRACED scalars (ertdx/sample.py), so the whole 2-D grid
+    reuses at most two compilations (the unguided g==1 program and the
+    guided one). Guidance != 1 needs a model trained with
+    ModelConfig.uncond_prob > 0.
+
+    Returns ((best_guidance, best_temperature), records) with records
+    keyed "g{g}_T{t}". Ties break toward the LOWEST temperature, then
+    the guidance closest to 1.0 (least model-side intervention), then
+    the lower guidance.
+    """
+    if objective not in _OBJECTIVES:
+        raise ValueError(f"unknown objective {objective!r}")
+    base = scfg or SampleConfig(uncertainty_samples=n_realizations)
+    val_true = np.asarray(val_true)
+
+    records: Dict[str, dict] = {}
+    best, best_val = None, -np.inf
+    for g in guidance_scales:
+        for temp in temperatures:
+            g, temp = float(g), float(temp)
+            run_cfg = dataclasses.replace(base, temperature=temp,
+                                          guidance_scale=g)
+            rec = _run_arm(model, params, val_conditions, val_true,
+                           schedule, key, param_scaler, run_cfg,
+                           n_realizations, batch_size, a, b, mesh)
+            records[f"g{g}_T{temp}"] = rec
+            score = rec[objective]
+            better = score > best_val
+            if score == best_val and best is not None:
+                bg, bt = best
+                better = (temp, abs(g - 1.0), g) < (bt, abs(bg - 1.0), bg)
+            if better:
+                best, best_val = (g, temp), score
+    if best is None:
+        raise ValueError(
+            f"calibration objective {objective!r} was NaN on every "
+            f"(guidance, temperature) grid point — the posterior is "
+            "degenerate on this val split (check valid_fraction)")
+    return best, records

@@ -315,19 +315,34 @@ def cmd_calibrate(args) -> int:
         overrides["guidance_scale"] = args.guidance
     if overrides:
         scfg = dataclasses.replace(scfg, **overrides)
-    best, records = calibrate_temperature(
-        model, cal_params, ds.conditions[val_idx], true_phys, sch,
-        jax.random.key(args.seed if args.seed is not None
-                       else cfg.train.seed), ds.param_scaler,
-        temperatures=[float(t) for t in args.temps.split(",") if t],
-        objective=args.objective, n_realizations=args.realizations,
-        batch_size=cfg.train.batch_size, scfg=scfg, a=ds.a, b=ds.b)
-    print(json.dumps({"best_temperature": best, "objective": args.objective,
-                      "records": records}, indent=2))
+    cal_key = jax.random.key(args.seed if args.seed is not None
+                             else cfg.train.seed)
+    temps = [float(t) for t in args.temps.split(",") if t]
+    if getattr(args, "guidance_grid", None):
+        if args.guidance is not None:
+            raise SystemExit("--guidance fixes one scale; it cannot be "
+                             "combined with --guidance-grid")
+        from .calibrate import calibrate_guidance
+        (best_g, best_t), records = calibrate_guidance(
+            model, cal_params, ds.conditions[val_idx], true_phys, sch,
+            cal_key, ds.param_scaler, temperatures=temps,
+            guidance_scales=[float(g) for g in
+                             args.guidance_grid.split(",") if g],
+            objective=args.objective, n_realizations=args.realizations,
+            batch_size=cfg.train.batch_size, scfg=scfg, a=ds.a, b=ds.b)
+        result = {"best_guidance": best_g, "best_temperature": best_t,
+                  "objective": args.objective, "records": records}
+    else:
+        best, records = calibrate_temperature(
+            model, cal_params, ds.conditions[val_idx], true_phys, sch,
+            cal_key, ds.param_scaler, temperatures=temps,
+            objective=args.objective, n_realizations=args.realizations,
+            batch_size=cfg.train.batch_size, scfg=scfg, a=ds.a, b=ds.b)
+        result = {"best_temperature": best, "objective": args.objective,
+                  "records": records}
+    print(json.dumps(result, indent=2))
     if args.out:
-        Path(args.out).write_text(json.dumps(
-            {"best_temperature": best, "objective": args.objective,
-             "records": records}))
+        Path(args.out).write_text(json.dumps(result))
         print(f"wrote {args.out}")
     return 0
 
@@ -585,6 +600,10 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--eta", type=float, default=None)
     ca.add_argument("--guidance", type=float, default=None,
                     help="CFG scale to calibrate under")
+    ca.add_argument("--guidance-grid", default=None,
+                    help="comma list of CFG scales: jointly calibrate "
+                         "(guidance, temperature) on the val split "
+                         "(needs uncond_prob > 0; excludes --guidance)")
     ca.add_argument("--ema", action="store_true",
                     help="calibrate on the EMA weights (as sampled)")
     ca.add_argument("--realizations", type=int, default=50)

@@ -91,3 +91,77 @@ def test_calibrate_tiebreak_and_nan(monkeypatch):
         cal.calibrate_temperature(
             None, None, np.zeros((3, 4, 2)), np.zeros((3, 29)), None,
             None, None, temperatures=(1.0, 2.0), objective="goodness")
+
+
+def test_calibrate_guidance_picks_argmax(tiny_dataset):
+    """Joint (guidance, temperature) calibration: records the full grid,
+    returns its argmax, and guidance measurably moves the posterior."""
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, uncond_prob=0.3))
+    res = train(cfg, tiny_dataset)
+    model = build_model(cfg.model)
+    sch = get_diffusion_schedule(cfg.diffusion.T)
+    _, val_idx, _ = data_lib.split_dataset(len(tiny_dataset), cfg.train.seed,
+                                           cfg.train.split)
+    conds = np.asarray(tiny_dataset.conditions[val_idx])
+    true_phys = np.asarray(tiny_dataset.param_scaler.inverse(
+        inverse_transform(np.asarray(tiny_dataset.params_u[val_idx]))))
+
+    from ertdx.calibrate import calibrate_guidance
+    gs, ts = (0.5, 1.0), (1.0, 2.0)
+    scfg = configs.SampleConfig(uncertainty_samples=6, sampler="dpmpp",
+                                dpmpp_steps=4)
+    (best_g, best_t), records = calibrate_guidance(
+        model, res.state.params, conds, true_phys, sch, jax.random.key(0),
+        tiny_dataset.param_scaler, temperatures=ts, guidance_scales=gs,
+        n_realizations=6, batch_size=len(conds), scfg=scfg)
+
+    assert set(records) == {f"g{g}_T{t}" for g in gs for t in ts}
+    assert (best_g, best_t) in [(g, t) for g in gs for t in ts]
+    for rec in records.values():
+        for k in ("accuracy", "precision", "goodness", "valid_fraction",
+                  "ensemble_sd_mean"):
+            assert np.isfinite(rec[k])
+    # best is the grid argmax of the objective
+    flat = [(records[f"g{g}_T{t}"]["goodness"], (g, t))
+            for g in gs for t in ts]
+    assert records[f"g{best_g}_T{best_t}"]["goodness"] == max(
+        v for v, _ in flat)
+    # guidance != 1 must actually change the sampled posterior
+    assert (records["g0.5_T1.0"]["ensemble_sd_mean"]
+            != records["g1.0_T1.0"]["ensemble_sd_mean"])
+
+
+def test_calibrate_guidance_tiebreak_and_nan(monkeypatch):
+    """All-tied scores pick the lowest temperature then the guidance
+    closest to 1.0; an all-NaN objective raises."""
+    import pytest
+
+    from ertdx import calibrate as cal
+
+    def fake_posterior(*a, **kw):
+        return np.zeros((2, 3, 29)), np.ones((2, 3), bool)
+
+    monkeypatch.setattr(cal, "posterior_over_dataset", fake_posterior)
+    monkeypatch.setattr(cal, "uq_scores",
+                        lambda pred, true: {"accuracy": 0.5,
+                                            "precision": 0.5,
+                                            "goodness": 0.5})
+    best, recs = cal.calibrate_guidance(
+        None, None, np.zeros((3, 4, 2)), np.zeros((3, 29)), None, None,
+        None, temperatures=(3.0, 1.5), guidance_scales=(0.5, 1.5, 1.0),
+        objective="goodness")
+    assert best == (1.0, 1.5)   # lowest temp, then g closest to 1.0
+    assert set(recs) == {f"g{g}_T{t}" for g in (0.5, 1.5, 1.0)
+                         for t in (3.0, 1.5)}
+
+    monkeypatch.setattr(cal, "uq_scores",
+                        lambda pred, true: {"accuracy": float("nan"),
+                                            "precision": float("nan"),
+                                            "goodness": float("nan")})
+    with pytest.raises(ValueError, match="NaN"):
+        cal.calibrate_guidance(
+            None, None, np.zeros((3, 4, 2)), np.zeros((3, 29)), None,
+            None, None, temperatures=(1.0,), guidance_scales=(1.0,),
+            objective="goodness")

@@ -185,3 +185,68 @@ def test_simulate_gather_pipeline(tmp_path):
     assert ert.shape == (4, 4, 3)
     # survey 2, row 0 of sim 3 encodes its provenance
     assert ert[3, 0, 2] == 3200.0
+
+
+def test_cfg_train_calibrate_guidance_grid(tmp_path):
+    """CFG end-to-end via the CLI: train with condition dropout, jointly
+    calibrate (guidance, temperature) on the val split, sample guided."""
+    from ertdx.doe import SurrogateDataGenerator
+    params = SurrogateDataGenerator(seed=3).generate_training_samples(
+        48, "lhs")[..., None]
+    ert = np.random.default_rng(3).normal(50, 10, (48, 64, 4))
+    p_path, e_path = tmp_path / "p.npy", tmp_path / "e.npy"
+    np.save(p_path, params)
+    np.save(e_path, ert)
+
+    import dataclasses
+    import ertdx.configs as C
+    small = dataclasses.replace(
+        C.REF_DEFAULT,
+        diffusion=C.DiffusionConfig(T=8),
+        model=dataclasses.replace(C.ModelConfig(), cond_length=64,
+                                  cond_channels=4),
+        train=dataclasses.replace(C.TrainConfig(), num_epochs=2,
+                                  batch_size=16, log_every=100),
+        name="tiny_cfg_test")
+    C.PRESETS["tiny_cfg_test"] = small
+    try:
+        ck = tmp_path / "ckpt"
+        rc = main(["train", "--params", str(p_path), "--ert", str(e_path),
+                   "--preset", "tiny_cfg_test", "--checkpoint-dir", str(ck),
+                   "--uncond-prob", "0.3"])
+        assert rc == 0
+
+        # joint grid calibration (echo restores uncond_prob — no flag)
+        cal_out = tmp_path / "cal.json"
+        rc = main(["calibrate", "--params", str(p_path), "--ert",
+                   str(e_path), "--checkpoint-dir", str(ck),
+                   "--preset", "tiny_cfg_test", "--temps", "1.0,2.0",
+                   "--guidance-grid", "0.5,1.0", "--sampler", "dpmpp",
+                   "--steps", "4", "--realizations", "3",
+                   "--out", str(cal_out)])
+        assert rc == 0
+        cal = json.loads(cal_out.read_text())
+        assert cal["best_guidance"] in (0.5, 1.0)
+        assert cal["best_temperature"] in (1.0, 2.0)
+        assert set(cal["records"]) == {f"g{g}_T{t}" for g in (0.5, 1.0)
+                                       for t in (1.0, 2.0)}
+
+        # --guidance and --guidance-grid are mutually exclusive
+        with pytest.raises(SystemExit):
+            main(["calibrate", "--params", str(p_path), "--ert",
+                  str(e_path), "--checkpoint-dir", str(ck),
+                  "--preset", "tiny_cfg_test", "--guidance", "0.7",
+                  "--guidance-grid", "0.5,1.0", "--realizations", "3"])
+
+        # guided sampling at the calibrated point
+        out = tmp_path / "pred_g.npy"
+        rc = main(["sample", "--params", str(p_path), "--ert", str(e_path),
+                   "--checkpoint-dir", str(ck), "--preset", "tiny_cfg_test",
+                   "--realizations", "3", "--guidance",
+                   str(cal["best_guidance"]), "--temperature",
+                   str(cal["best_temperature"]), "--sampler", "dpmpp",
+                   "--steps", "4", "--out", str(out)])
+        assert rc == 0
+        assert np.isfinite(np.load(out)).all()
+    finally:
+        C.PRESETS.pop("tiny_cfg_test", None)
