@@ -6,16 +6,22 @@ the (g, T) surface on the TEST split — fine for characterizing the
 knobs, but a deployment must choose them without touching test data.
 This harness closes the loop with `ertdx.calibrate.calibrate_guidance`:
 
-  1. calibrate on the VALIDATION split (the reference's 10% val slice,
-     ERT_Conditional_Diffusion.py:271-281 split semantics);
-  2. evaluate the chosen (g*, T*) once on the TEST split;
-  3. record both, plus the val grid, so the generalization gap is
-     visible.
+  1. sample the (g, T) grid ONCE on the VALIDATION split (the
+     reference's 10% val slice, ERT_Conditional_Diffusion.py:271-281
+     split semantics);
+  2. pick the best point under EACH requested objective
+     (pick_from_records — selection is free once the grid is sampled;
+     the reference's combined 'goodness' can score high even when
+     coverage collapses, so coverage-first deployments pick by
+     'accuracy');
+  3. evaluate every pick once on the TEST split with a fresh key;
+  4. record picks + test metrics + the val grid, so the
+     generalization gap is visible.
 
 Usage (after flagship_fullscale.py run --uncond-prob 0.1):
   python benchmarks/calibrate_guidance_fullscale.py [--seed 42]
       [--guidance 0.5,0.7,1.0,1.5] [--temps 1.0,1.25,1.5,2.0]
-      [--objective goodness]
+      [--objectives goodness,accuracy]
 
 Writes docs/results/flagship_fullscale/guidance_calibration_s{seed}.json.
 """
@@ -54,11 +60,11 @@ def main() -> int:
     ap.add_argument("--uncond-prob", type=float, default=0.1)
     ap.add_argument("--guidance", default="0.5,0.7,1.0,1.5")
     ap.add_argument("--temps", default="1.0,1.25,1.5,2.0")
-    ap.add_argument("--objective", default="goodness",
-                    choices=["goodness", "accuracy", "precision"])
+    ap.add_argument("--objectives", default="goodness,accuracy")
     args = ap.parse_args()
     guidances = [float(g) for g in args.guidance.split(",")]
     temps = [float(t) for t in args.temps.split(",")]
+    objectives = [o for o in args.objectives.split(",") if o]
 
     rdir = OUT / f"{args.model}-cfg_s{args.seed}"
     ds = make_dataset()
@@ -83,42 +89,49 @@ def main() -> int:
     val_conds, val_true = split_arrays(val_idx)
     test_conds, test_true = split_arrays(test_idx)
 
+    from ertdx.calibrate import pick_from_records
+
     t0 = time.perf_counter()
-    (best_g, best_t), val_records = calibrate_guidance(
+    _, val_records = calibrate_guidance(
         model, state.params, val_conds, val_true, schedule,
         jax.random.key(args.seed + 200), ds.param_scaler,
         temperatures=temps, guidance_scales=guidances,
-        objective=args.objective, n_realizations=N_REAL,
+        objective=objectives[0], n_realizations=N_REAL,
         batch_size=UQ_BATCH)
     cal_wall = time.perf_counter() - t0
-    print(json.dumps({"best_guidance": best_g, "best_temperature": best_t,
-                      "objective": args.objective,
-                      "cal_wall_s": round(cal_wall, 1)}), flush=True)
+    print(json.dumps({"cal_wall_s": round(cal_wall, 1)}), flush=True)
 
-    # held-out verification at the chosen point (fresh key: deployment
-    # never reuses the calibration draws)
-    scfg = configs.SampleConfig(uncertainty_samples=N_REAL,
-                                temperature=best_t, guidance_scale=best_g)
-    t0 = time.perf_counter()
-    pred, mask = posterior_over_dataset(
-        model, state.params, test_conds, schedule,
-        jax.random.key(args.seed + 300), ds.param_scaler,
-        n_realizations=N_REAL, batch_size=UQ_BATCH, scfg=scfg)
-    test_wall = time.perf_counter() - t0
-    sc = uq_scores(pred, test_true)
-    test_rec = {"accuracy": float(sc["accuracy"]),
-                "precision": float(sc["precision"]),
-                "goodness": float(sc["goodness"]),
-                "valid_fraction": float(mask.mean()),
-                "seconds": round(test_wall, 1)}
-    print(json.dumps({"test_at_calibrated": test_rec}), flush=True)
+    # one sampled grid, one pick per objective, each verified held-out
+    # with a fresh key (deployment never reuses the calibration draws)
+    picks = {}
+    for objective in objectives:
+        best_g, best_t = pick_from_records(val_records, objective)
+        scfg = configs.SampleConfig(uncertainty_samples=N_REAL,
+                                    temperature=best_t,
+                                    guidance_scale=best_g)
+        t0 = time.perf_counter()
+        pred, mask = posterior_over_dataset(
+            model, state.params, test_conds, schedule,
+            jax.random.key(args.seed + 300), ds.param_scaler,
+            n_realizations=N_REAL, batch_size=UQ_BATCH, scfg=scfg)
+        test_wall = time.perf_counter() - t0
+        sc = uq_scores(pred, test_true)
+        test_rec = {"accuracy": float(sc["accuracy"]),
+                    "precision": float(sc["precision"]),
+                    "goodness": float(sc["goodness"]),
+                    "valid_fraction": float(mask.mean()),
+                    "seconds": round(test_wall, 1)}
+        picks[objective] = {"best_guidance": best_g,
+                            "best_temperature": best_t,
+                            "val": val_records[f"g{best_g}_T{best_t}"],
+                            "test": test_rec}
+        print(json.dumps({objective: picks[objective]}), flush=True)
 
     out = {"model": f"{args.model}-cfg", "seed": args.seed,
-           "objective": args.objective, "n_real": N_REAL,
+           "n_real": N_REAL,
            "n_val": int(len(val_idx)), "n_test": int(len(test_idx)),
-           "best_guidance": best_g, "best_temperature": best_t,
            "cal_wall_s": round(cal_wall, 1),
-           "val_records": val_records, "test_at_calibrated": test_rec}
+           "picks": picks, "val_records": val_records}
     path = OUT / f"guidance_calibration_s{args.seed}.json"
     path.write_text(json.dumps(out))
     print(f"wrote {path}")

@@ -139,26 +139,53 @@ def calibrate_guidance(model, params, val_conditions: np.ndarray,
     val_true = np.asarray(val_true)
 
     records: Dict[str, dict] = {}
-    best, best_val = None, -np.inf
     for g in guidance_scales:
         for temp in temperatures:
             g, temp = float(g), float(temp)
             run_cfg = dataclasses.replace(base, temperature=temp,
                                           guidance_scale=g)
-            rec = _run_arm(model, params, val_conditions, val_true,
-                           schedule, key, param_scaler, run_cfg,
-                           n_realizations, batch_size, a, b, mesh)
-            records[f"g{g}_T{temp}"] = rec
-            score = rec[objective]
-            better = score > best_val
-            if score == best_val and best is not None:
-                bg, bt = best
-                better = (temp, abs(g - 1.0), g) < (bt, abs(bg - 1.0), bg)
-            if better:
-                best, best_val = (g, temp), score
+            records[f"g{g}_T{temp}"] = _run_arm(
+                model, params, val_conditions, val_true, schedule, key,
+                param_scaler, run_cfg, n_realizations, batch_size, a, b,
+                mesh)
+    return pick_from_records(records, objective), records
+
+
+def _parse_grid_key(key: str) -> Tuple[float, float]:
+    """"g0.7_T1.5" -> (0.7, 1.5)."""
+    g_part, t_part = key.split("_T")
+    return float(g_part[1:]), float(t_part)
+
+
+def pick_from_records(records: Dict[str, dict],
+                      objective: str) -> Tuple[float, float]:
+    """Select the best (guidance, temperature) from an already-sampled
+    calibration grid (the `records` a calibrate_guidance call returns,
+    keyed "g{g}_T{t}").
+
+    Sampling the grid is the expensive part; selection is free — use
+    this to re-pick under a different objective (e.g. coverage-first
+    'accuracy' vs the reference's combined 'goodness', which can score
+    high even when coverage collapses) without resampling. Same
+    tie-breaks as calibrate_guidance: lowest temperature, then guidance
+    closest to 1.0, then lower guidance. Raises if the objective is NaN
+    on every point.
+    """
+    if objective not in _OBJECTIVES:
+        raise ValueError(f"unknown objective {objective!r}")
+    best, best_val = None, -np.inf
+    for key, rec in records.items():
+        g, temp = _parse_grid_key(key)
+        score = rec[objective]
+        better = score > best_val
+        if score == best_val and best is not None:
+            bg, bt = best
+            better = (temp, abs(g - 1.0), g) < (bt, abs(bg - 1.0), bg)
+        if better:
+            best, best_val = (g, temp), score
     if best is None:
         raise ValueError(
             f"calibration objective {objective!r} was NaN on every "
             f"(guidance, temperature) grid point — the posterior is "
             "degenerate on this val split (check valid_fraction)")
-    return best, records
+    return best

@@ -165,3 +165,30 @@ def test_calibrate_guidance_tiebreak_and_nan(monkeypatch):
             None, None, np.zeros((3, 4, 2)), np.zeros((3, 29)), None,
             None, None, temperatures=(1.0,), guidance_scales=(1.0,),
             objective="goodness")
+
+
+def test_pick_from_records_reselects_without_resampling():
+    """Selection from an already-sampled grid is pure: different
+    objectives re-pick from the same records; tie-breaks match
+    calibrate_guidance; unknown objective / all-NaN raise."""
+    import pytest
+
+    from ertdx.calibrate import pick_from_records
+
+    recs = {
+        "g0.5_T1.5": {"accuracy": 0.98, "precision": 0.80, "goodness": 0.90},
+        "g0.7_T1.5": {"accuracy": 0.98, "precision": 0.83, "goodness": 0.92},
+        "g1.0_T1.25": {"accuracy": 0.81, "precision": 0.98,
+                       "goodness": 0.99},
+    }
+    assert pick_from_records(recs, "goodness") == (1.0, 1.25)
+    # accuracy ties at 0.98 -> same temp, g closest to 1.0 wins
+    assert pick_from_records(recs, "accuracy") == (0.7, 1.5)
+    assert pick_from_records(recs, "precision") == (1.0, 1.25)
+    with pytest.raises(ValueError, match="unknown objective"):
+        pick_from_records(recs, "sharpness")
+    with pytest.raises(ValueError, match="NaN"):
+        pick_from_records(
+            {"g1.0_T1.0": {"accuracy": float("nan"),
+                           "precision": float("nan"),
+                           "goodness": float("nan")}}, "goodness")
