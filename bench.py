@@ -373,10 +373,15 @@ def _measure_uq_testset(model_name: str, n_test: int = 508,
     pd1 = SampleConfig(uncertainty_samples=n_real, sampler="pd",
                        pd_steps=1, temperature=1.5)
     out = {"uq_testset_shape": f"{n_test}x{n_real}xT{T}"}
+    # few-step students are dispatch-bound at batch 127 (4 dispatches x
+    # ~40 ms tunnel round-trip): one whole-test-set dispatch measures
+    # ~1.9x faster (0.17 vs 0.33 s same-chip-pass) — the deployment
+    # guideline for pd students is batch_size = n_test
     for label, bsz, scfg in (("", batch, anc), ("_1dispatch", n_test, anc),
                              ("_ddim50", batch, ddim),
                              ("_dpmpp15", batch, dpmpp),
-                             ("_pd4", batch, pd4), ("_pd1", batch, pd1)):
+                             ("_pd4", batch, pd4), ("_pd1", batch, pd1),
+                             ("_pd1_1dispatch", n_test, pd1)):
         # warm (compiles each distinct batch shape once)
         posterior_over_dataset(model, state.params, conds[:bsz], sch,
                                jax.random.key(0), scaler,
