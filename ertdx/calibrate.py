@@ -25,7 +25,7 @@ import numpy as np
 
 from .configs import SampleConfig
 from .diffusion import DiffusionSchedule
-from .metrics import uq_scores
+from .metrics import per_parameter_uq, uq_scores
 from .sample import posterior_over_dataset
 
 DEFAULT_GRID = (1.0, 1.25, 1.5, 2.0, 3.0)
@@ -43,11 +43,18 @@ def _run_arm(model, params, val_conditions, val_true, schedule, key,
         n_realizations=n_realizations, batch_size=batch_size,
         scfg=run_cfg, a=a, b=b, mesh=mesh)
     sc = uq_scores(pred, val_true)
+    # per-parameter curves ride along for free: selection over them is
+    # what makes vector (per-parameter) tempering cost no extra sampling
+    rows = per_parameter_uq(pred, val_true)
     return {"accuracy": float(sc["accuracy"]),
             "precision": float(sc["precision"]),
             "goodness": float(sc["goodness"]),
             "valid_fraction": float(mask.mean()),
-            "ensemble_sd_mean": float(pred.std(axis=0).mean())}
+            "ensemble_sd_mean": float(pred.std(axis=0).mean()),
+            "per_parameter": {
+                "accuracy": [r["Accuracy"] for r in rows],
+                "precision": [r["Precision"] for r in rows],
+                "goodness": [r["Goodness"] for r in rows]}}
 
 
 def calibrate_temperature(model, params, val_conditions: np.ndarray,
@@ -60,7 +67,9 @@ def calibrate_temperature(model, params, val_conditions: np.ndarray,
                           batch_size: int = 32,
                           scfg: Optional[SampleConfig] = None,
                           a: float = 0.0, b: float = 1.0,
-                          mesh=None) -> Tuple[float, Dict[str, dict]]:
+                          mesh=None,
+                          per_parameter: bool = False
+                          ) -> Tuple[object, Dict[str, dict]]:
     """Pick the sampler temperature maximizing a UQ objective.
 
     val_conditions: (N, L, C) scaled ERT conditions of the VALIDATION
@@ -70,8 +79,16 @@ def calibrate_temperature(model, params, val_conditions: np.ndarray,
     choice, step budgets) come from `scfg`.
 
     Returns (best_temperature, records) where records maps str(temp) ->
-    {accuracy, precision, goodness, valid_fraction, ensemble_sd_mean}.
-    Ties break toward the LOWEST temperature (sharper posterior).
+    {accuracy, precision, goodness, valid_fraction, ensemble_sd_mean,
+    per_parameter}. Ties break toward the LOWEST temperature (sharper
+    posterior).
+
+    per_parameter=True upgrades the pick to a VECTOR temperature: each
+    of the P parameters independently takes its best grid value by the
+    per-parameter objective (selection reuses the scalar sweep's samples
+    — zero extra sampling), then ONE verification arm runs with the
+    assembled vector (records["vector"], carrying its own joint scores
+    and the vector under "temperature"). Returns (tuple_of_P, records).
     """
     if objective not in _OBJECTIVES:
         raise ValueError(f"unknown objective {objective!r}")
@@ -99,7 +116,58 @@ def calibrate_temperature(model, params, val_conditions: np.ndarray,
             f"calibration objective {objective!r} was NaN for every "
             f"temperature in {list(temperatures)!r} — the posterior is "
             "degenerate on this val split (check valid_fraction)")
+    if per_parameter:
+        vec = pick_temperature_per_param(records, objective)
+        run_cfg = dataclasses.replace(base, temperature=tuple(vec))
+        rec = _run_arm(model, params, val_conditions, val_true, schedule,
+                       key, param_scaler, run_cfg, n_realizations,
+                       batch_size, a, b, mesh)
+        rec["temperature"] = [float(t) for t in vec]
+        rec["scalar_winner"] = best_temp
+        records["vector"] = rec
+        return tuple(float(t) for t in vec), records
     return best_temp, records
+
+
+def pick_temperature_per_param(records: Dict[str, dict],
+                               objective: str) -> np.ndarray:
+    """Per-parameter argmax over a SCALAR temperature sweep's records.
+
+    records: the str(temp) -> record map a calibrate_temperature sweep
+    produced (each record carrying the "per_parameter" objective lists).
+    For each parameter j, picks the grid temperature maximizing
+    per_parameter[objective][j]; ties break toward the LOWEST
+    temperature. Selection is free — the expensive part (sampling the
+    grid) already happened. Returns a (P,) float array.
+    """
+    if objective not in _OBJECTIVES:
+        raise ValueError(f"unknown objective {objective!r}")
+    temps, tables = [], []
+    for key, rec in records.items():
+        try:
+            t = float(key)
+        except ValueError:
+            continue                 # skip non-grid entries ("vector")
+        if "per_parameter" not in rec:
+            raise ValueError(
+                f"record for temperature {key} carries no 'per_parameter' "
+                "scores — re-run the sweep with this ertdx version")
+        temps.append(t)
+        tables.append(np.asarray(rec["per_parameter"][objective],
+                                 dtype=np.float64))
+    if not temps:
+        raise ValueError("records contain no scalar-temperature entries")
+    order = np.argsort(temps)        # ascending: first argmax = lowest T
+    temps_arr = np.asarray(temps)[order]
+    scores = np.stack([tables[i] for i in order])      # (n_temps, P)
+    if np.isnan(scores).all(axis=0).any():
+        bad = np.where(np.isnan(scores).all(axis=0))[0]
+        raise ValueError(
+            f"objective {objective!r} is NaN at every grid temperature "
+            f"for parameter indices {bad.tolist()}")
+    # nanargmax with NaN-safe fill; ties -> first (lowest) temperature
+    filled = np.where(np.isnan(scores), -np.inf, scores)
+    return temps_arr[np.argmax(filled, axis=0)]
 
 
 def calibrate_guidance(model, params, val_conditions: np.ndarray,

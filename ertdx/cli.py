@@ -237,7 +237,7 @@ def cmd_sample(args) -> int:
     if args.sampler:
         overrides["sampler"] = args.sampler
     if args.temperature is not None:
-        overrides["temperature"] = args.temperature
+        overrides["temperature"] = _parse_temperature(args.temperature)
     if args.steps is not None:
         # one flag steers whichever subsequence sampler is active
         overrides["ddim_steps"] = args.steps
@@ -267,6 +267,14 @@ def cmd_sample(args) -> int:
     print(f"wrote {args.out} {pred.shape}; valid fraction "
           f"{mask.mean():.3f}")
     return 0
+
+
+def _parse_temperature(s: str):
+    """'1.5' -> 1.5 (global); '1.5,2.0,...' -> tuple (per-parameter)."""
+    parts = [p for p in str(s).split(",") if p]
+    if len(parts) == 1:
+        return float(parts[0])
+    return tuple(float(p) for p in parts)
 
 
 def cmd_calibrate(args) -> int:
@@ -322,6 +330,10 @@ def cmd_calibrate(args) -> int:
         if args.guidance is not None:
             raise SystemExit("--guidance fixes one scale; it cannot be "
                              "combined with --guidance-grid")
+        if getattr(args, "per_parameter", False):
+            raise SystemExit("--per-parameter refines the temperature "
+                             "sweep; run it with a FIXED --guidance, not "
+                             "--guidance-grid (pick g first)")
         from .calibrate import calibrate_guidance
         (best_g, best_t), records = calibrate_guidance(
             model, cal_params, ds.conditions[val_idx], true_phys, sch,
@@ -337,9 +349,11 @@ def cmd_calibrate(args) -> int:
             model, cal_params, ds.conditions[val_idx], true_phys, sch,
             cal_key, ds.param_scaler, temperatures=temps,
             objective=args.objective, n_realizations=args.realizations,
-            batch_size=cfg.train.batch_size, scfg=scfg, a=ds.a, b=ds.b)
-        result = {"best_temperature": best, "objective": args.objective,
-                  "records": records}
+            batch_size=cfg.train.batch_size, scfg=scfg, a=ds.a, b=ds.b,
+            per_parameter=getattr(args, "per_parameter", False))
+        best_out = list(best) if isinstance(best, tuple) else best
+        result = {"best_temperature": best_out,
+                  "objective": args.objective, "records": records}
     print(json.dumps(result, indent=2))
     if args.out:
         Path(args.out).write_text(json.dumps(result))
@@ -570,9 +584,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="subsequence step budget for ddim/dpmpp/pd")
     sa.add_argument("--eta", type=float, default=None,
                     help="DDIM eta (0 = deterministic ODE)")
-    sa.add_argument("--temperature", type=float, default=None,
+    sa.add_argument("--temperature", type=str, default=None,
                     help="noise tempering (per-step for ancestral/ddim "
-                         "eta>0; prior for dpmpp)")
+                         "eta>0; prior for dpmpp/pd): one value, or a "
+                         "comma list of param_dim values for "
+                         "per-parameter tempering")
     sa.add_argument("--guidance", type=float, default=None,
                     help="classifier-free guidance scale (needs a model "
                          "trained with --uncond-prob > 0)")
@@ -592,6 +608,11 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--temps", default="1.0,1.25,1.5,2.0,3.0")
     ca.add_argument("--objective", default="goodness",
                     choices=["goodness", "accuracy", "precision"])
+    ca.add_argument("--per-parameter", action="store_true",
+                    dest="per_parameter",
+                    help="pick a PER-PARAMETER temperature vector from "
+                         "the same sweep (zero extra sampling) + one "
+                         "verification arm")
     ca.add_argument("--sampler", choices=["ancestral", "ddim", "dpmpp", "pd"],
                     default=None)
     ca.add_argument("--steps", type=int, default=None,

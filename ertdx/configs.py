@@ -127,9 +127,13 @@ class TrainConfig:
 class SampleConfig:
     uncertainty_samples: int = 50
     # noise scaling: per-step injected noise for ancestral/ddim(eta>0);
-    # for the deterministic dpmpp ODE sampler it scales the INITIAL
-    # noise instead (prior tempering — the only knob an ODE admits)
-    temperature: float = 1.0
+    # for the deterministic dpmpp/pd ODE samplers it scales the INITIAL
+    # noise instead (prior tempering — the only knob an ODE admits).
+    # Either one scalar (global tempering) or a length-param_dim tuple
+    # (PER-PARAMETER tempering — broadcast over the parameter axis;
+    # calibrate with ertdx.calibrate per_parameter=True, which reuses
+    # the scalar sweep's samples at zero extra cost)
+    temperature: "float | tuple" = 1.0
     sampler: str = "ancestral"     # "ancestral" | "ddim" | "dpmpp" | "pd"
     ddim_steps: int = 50
     ddim_eta: float = 0.0
@@ -167,14 +171,15 @@ def _replace(cfg, **kw):
 def _fields_from_dict(dc, d):
     """Rebuild a frozen config dataclass from a (possibly partial) dict.
 
-    JSON round-trips tuples as lists, so coerce back where the field's
-    current value is a tuple (e.g. TrainConfig.split)."""
+    JSON round-trips tuples as lists, so coerce every list back to a
+    tuple — no config field is list-typed, and frozen configs must stay
+    hashable (e.g. TrainConfig.split, SampleConfig.temperature)."""
     vals = {}
     for f in dataclasses.fields(dc):
         if f.name not in d:
             continue
         v = d[f.name]
-        if isinstance(getattr(dc, f.name), tuple) and isinstance(v, list):
+        if isinstance(v, list):
             v = tuple(v)
         vals[f.name] = v
     return dataclasses.replace(dc, **vals) if vals else dc

@@ -150,7 +150,9 @@ def sample_ancestral(denoise_fn: DenoiseFn, key: jax.Array, shape,
     denoise_fn(x, t_batch) -> predicted noise, where t_batch is (B,) int32.
     shape: (B, D) of the sample. `truncate_steps` reproduces the reference's
     `num_steps` compat behavior (mathematically a mismatched prior; prefer
-    `sample_ddim` for accelerated sampling).
+    `sample_ddim` for accelerated sampling). `temperature` scales the
+    injected noise — a traced scalar, or a (D,) vector tempering each
+    sample dimension independently.
 
     Reference update rule: ERT_Conditional_Diffusion.py:108-118.
     """
@@ -221,7 +223,8 @@ def sample_ddim(denoise_fn: DenoiseFn, key: jax.Array, shape,
     `temperature` scales ONLY the injected noise (the reference's tempering
     semantics, ERT_Conditional_Diffusion.py:115-118: sigma * temperature * z);
     the deterministic mean update is untouched, so at eta=0 it is a no-op.
-    It may be a traced scalar — sweeping it reuses one compilation.
+    It may be a traced scalar, or a (D,) vector tempering each sample
+    dimension independently — sweeping it reuses one compilation.
     """
     T = schedule.num_steps
     ts = ddim_timesteps(T, num_steps)  # increasing

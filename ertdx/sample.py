@@ -238,14 +238,23 @@ def posterior_ensemble(model, params, condition: jax.Array,
     """
     scfg = scfg or SampleConfig(uncertainty_samples=n_realizations)
     P = param_dim or getattr(model, "param_dim", 29)
+    # scalar temperature = global tempering; a (P,)-vector tempers each
+    # parameter independently (broadcast over the chains' last axis in
+    # every sampler). Both enter the jitted program as traced DATA, so a
+    # calibration sweep reuses one compilation per temperature SHAPE.
+    temperature = jnp.asarray(scfg.temperature, dtype=jnp.float32)
+    if temperature.ndim not in (0, 1) or (
+            temperature.ndim == 1 and temperature.shape[0] != P):
+        raise ValueError(
+            f"temperature must be a scalar or a length-{P} (param_dim) "
+            f"vector, got shape {temperature.shape}")
     if mesh is not None:
         condition = jax.device_put(condition, replicated(mesh))
         params = jax.device_put(params, replicated(mesh))
     run = _ensemble_fn(model, n_realizations, P, scfg, truncate_steps,
                        schedule.num_steps, condition.shape[1:],
                        condition.shape[0], mesh)
-    return run(params, condition, key, schedule,
-               jnp.float32(scfg.temperature),
+    return run(params, condition, key, schedule, temperature,
                jnp.float32(scfg.guidance_scale))
 
 

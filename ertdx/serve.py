@@ -187,9 +187,17 @@ _SAMPLER_KEYS = ("sampler", "ddim_steps", "ddim_eta", "dpmpp_steps",
                  "pd_steps", "guidance_scale", "temperature")
 
 
+def _temperature_cast(v):
+    """Scalar (global) or list (per-parameter vector) tempering."""
+    if isinstance(v, (list, tuple)):
+        return tuple(float(x) for x in v)
+    return float(v)
+
+
 _SAMPLER_CASTS = {"sampler": str, "ddim_steps": int, "ddim_eta": float,
                   "dpmpp_steps": int, "pd_steps": int,
-                  "guidance_scale": float, "temperature": float}
+                  "guidance_scale": float,
+                  "temperature": _temperature_cast}
 
 
 def scfg_from_request(req: dict) -> Optional[SampleConfig]:

@@ -192,3 +192,73 @@ def test_pick_from_records_reselects_without_resampling():
             {"g1.0_T1.0": {"accuracy": float("nan"),
                            "precision": float("nan"),
                            "goodness": float("nan")}}, "goodness")
+
+
+def test_pick_temperature_per_param_from_records():
+    """Per-parameter selection over a scalar sweep: argmax per column,
+    ties toward the LOWEST temperature, NaNs skipped per-entry, all-NaN
+    columns raise, non-grid record keys ignored."""
+    import pytest
+
+    from ertdx.calibrate import pick_temperature_per_param
+
+    def rec(acc):
+        return {"per_parameter": {"accuracy": acc,
+                                  "precision": [0.0] * len(acc),
+                                  "goodness": [0.0] * len(acc)}}
+
+    recs = {
+        "1.0": rec([0.9, 0.5, 0.7, float("nan")]),
+        "2.0": rec([0.9, 0.8, 0.6, 0.3]),       # param0 ties -> T=1.0
+        "vector": {"accuracy": 1.0},             # non-grid entry ignored
+    }
+    vec = pick_temperature_per_param(recs, "accuracy")
+    assert vec.tolist() == [1.0, 2.0, 1.0, 2.0]
+
+    with pytest.raises(ValueError, match="unknown objective"):
+        pick_temperature_per_param(recs, "sharpness")
+    with pytest.raises(ValueError, match="no 'per_parameter'"):
+        pick_temperature_per_param({"1.0": {"accuracy": 0.5}}, "accuracy")
+    with pytest.raises(ValueError, match="parameter indices \\[1\\]"):
+        pick_temperature_per_param(
+            {"1.0": rec([0.1, float("nan")]),
+             "2.0": rec([0.2, float("nan")])}, "accuracy")
+    with pytest.raises(ValueError, match="no scalar-temperature"):
+        pick_temperature_per_param({"vector": {}}, "accuracy")
+
+
+def test_calibrate_per_parameter_end_to_end(tiny_dataset):
+    """per_parameter=True returns a (P,) vector assembled from the scalar
+    sweep's per-parameter tables plus one verification arm sampled with
+    the vector temperature."""
+    cfg = _cfg()
+    res = train(cfg, tiny_dataset)
+    model = build_model(cfg.model)
+    sch = get_diffusion_schedule(cfg.diffusion.T)
+    _, val_idx, _ = data_lib.split_dataset(len(tiny_dataset), cfg.train.seed,
+                                           cfg.train.split)
+    conds = np.asarray(tiny_dataset.conditions[val_idx])
+    true_phys = np.asarray(tiny_dataset.param_scaler.inverse(
+        inverse_transform(np.asarray(tiny_dataset.params_u[val_idx]))))
+
+    grid = (0.5, 2.0)
+    scfg = configs.SampleConfig(uncertainty_samples=6, sampler="dpmpp",
+                                dpmpp_steps=4)
+    best, records = calibrate_temperature(
+        model, res.state.params, conds, true_phys, sch, jax.random.key(0),
+        tiny_dataset.param_scaler, temperatures=grid, n_realizations=6,
+        batch_size=len(conds), scfg=scfg, objective="goodness",
+        per_parameter=True)
+
+    assert isinstance(best, tuple) and len(best) == 29
+    assert set(best) <= {float(t) for t in grid}
+    # each entry is that parameter's grid argmax (tie -> lower temp)
+    for j, t in enumerate(best):
+        g = {t_: records[str(float(t_))]["per_parameter"]["goodness"][j]
+             for t_ in grid}
+        t_best = max(sorted(g), key=lambda k: (g[k], -k))
+        assert t == float(t_best)
+    vec = records["vector"]
+    assert vec["temperature"] == list(best)
+    assert np.isfinite(vec["goodness"])
+    assert "scalar_winner" in vec

@@ -128,6 +128,11 @@ def test_scfg_from_request_gate():
                            ("ddim_steps", 25, "ddim_steps")):
         scfg = scfg_from_request({"conditions": [], key: val})
         assert scfg is not None and getattr(scfg, attr) == val
+    # per-parameter vector tempering arrives as a JSON list -> tuple
+    # (SampleConfig must stay hashable)
+    scfg = scfg_from_request({"conditions": [], "temperature": [1.0, 2.5]})
+    assert scfg.temperature == (1.0, 2.5)
+    hash(scfg)
 
 
 def test_masked_posterior_stats():
