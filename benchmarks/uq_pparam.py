@@ -45,21 +45,6 @@ from parity_500ep import BATCH, C, L, LR, N, T, make_dataset  # noqa: E402
 from flagship_fullscale import N_REAL, OUT, UQ_BATCH  # noqa: E402
 
 
-def _pick_scalar(records: dict, objective: str) -> float:
-    """Best scalar grid temperature; ties toward the lowest T."""
-    best, best_val = None, -np.inf
-    for key, rec in records.items():
-        try:
-            t = float(key)
-        except ValueError:
-            continue
-        s = rec[objective]
-        if s > best_val or (s == best_val and best is not None
-                            and t < best):
-            best, best_val = t, s
-    return best
-
-
 def main() -> int:
     import jax
 
@@ -81,6 +66,9 @@ def main() -> int:
                     help="output label (default: derived from --ckpt)")
     ap.add_argument("--temps", default="1.0,1.25,1.5,2.0,3.0")
     ap.add_argument("--objectives", default="accuracy,goodness")
+    ap.add_argument("--reuse", action="store_true",
+                    help="reuse a prior run's val sweep records (skip "
+                         "re-sampling the val grid; selection is free)")
     args = ap.parse_args()
     temps = [float(t) for t in args.temps.split(",")]
     objectives = [o for o in args.objectives.split(",") if o]
@@ -121,15 +109,26 @@ def main() -> int:
     val_conds, val_true = split_arrays(val_idx)
     test_conds, test_true = split_arrays(test_idx)
 
-    t0 = time.perf_counter()
-    _, records = calibrate_temperature(
-        model, state.params, val_conds, val_true, schedule,
-        jax.random.key(seed + 400), ds.param_scaler,
-        temperatures=temps, objective=objectives[0],
-        n_realizations=N_REAL, batch_size=UQ_BATCH, scfg=scfg,
-        per_parameter=True)
-    cal_wall = time.perf_counter() - t0
-    print(json.dumps({"cal_wall_s": round(cal_wall, 1)}), flush=True)
+    prior_path = OUT / f"pparam_{label}_s{seed}.json"
+    records = None
+    if args.reuse and prior_path.exists():
+        prior = json.loads(prior_path.read_text())
+        if sorted(float(k) for k in prior["val_records"]
+                  if k not in ("vector",)) == sorted(temps):
+            records = prior["val_records"]
+            cal_wall = prior.get("cal_wall_s", 0.0)
+            print(json.dumps({"reused_val_records": str(prior_path)}),
+                  flush=True)
+    if records is None:
+        t0 = time.perf_counter()
+        _, records = calibrate_temperature(
+            model, state.params, val_conds, val_true, schedule,
+            jax.random.key(seed + 400), ds.param_scaler,
+            temperatures=temps, objective=objectives[0],
+            n_realizations=N_REAL, batch_size=UQ_BATCH, scfg=scfg,
+            per_parameter=True)
+        cal_wall = time.perf_counter() - t0
+        print(json.dumps({"cal_wall_s": round(cal_wall, 1)}), flush=True)
 
     def test_arm(temperature, tag):
         run_cfg = dataclasses.replace(scfg, temperature=temperature)
@@ -153,21 +152,32 @@ def main() -> int:
         print(json.dumps({tag: rec}), flush=True)
         return rec
 
-    picks = {}
+    # the full frontier, all from the ONE val sweep:
+    #   scalar arms: every grid temperature evaluated held-out;
+    #   vector arms: per-parameter picks under coverage targets (lowest
+    #   per-param T covering >= target), tol-argmax, and plain argmax
+    #   per objective. Each test arm is one cheap sampling pass.
+    picks = {"scalar": {}, "vector": {}}
+    for t in temps:
+        picks["scalar"][f"T{t}"] = {
+            "temperature": t, "val": records[str(t)],
+            "test": test_arm(t, f"scalar_T{t}")}
+    vec_rules = [("accuracy", {"target": 0.90}, "acc_target0.90"),
+                 ("accuracy", {"target": 0.95}, "acc_target0.95"),
+                 ("accuracy", {"tol": 0.02}, "acc_tol0.02"),
+                 ("accuracy", {}, "acc_argmax")]
     for objective in objectives:
-        t_scalar = _pick_scalar(records, objective)
-        vec = pick_temperature_per_param(records, objective)
-        picks[objective] = {
-            "scalar": {"temperature": t_scalar,
-                       "val": records[str(t_scalar)],
-                       "test": test_arm(t_scalar,
-                                        f"{objective}_scalar_T{t_scalar}")},
-            "vector": {"temperature": [float(t) for t in vec],
-                       "test": test_arm(tuple(float(t) for t in vec),
-                                        f"{objective}_vector")},
-        }
+        if objective != "accuracy":
+            vec_rules.append((objective, {}, f"{objective}_argmax"))
+    for objective, kw, tag in vec_rules:
+        vec = pick_temperature_per_param(records, objective, **kw)
+        picks["vector"][tag] = {
+            "objective": objective, "rule": kw,
+            "temperature": [float(t) for t in vec],
+            "test": test_arm(tuple(float(t) for t in vec),
+                             f"vector_{tag}")}
     # the val-sampled vector-verification arm (objectives[0]) rides along
-    picks[objectives[0]]["vector"]["val"] = records.get("vector")
+    picks["vector_val_verification"] = records.get("vector")
 
     out = {"ckpt": str(ckpt_dir.relative_to(OUT) if ckpt_dir.is_relative_to(
                OUT) else ckpt_dir),

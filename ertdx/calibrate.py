@@ -68,7 +68,9 @@ def calibrate_temperature(model, params, val_conditions: np.ndarray,
                           scfg: Optional[SampleConfig] = None,
                           a: float = 0.0, b: float = 1.0,
                           mesh=None,
-                          per_parameter: bool = False
+                          per_parameter: bool = False,
+                          per_parameter_target: Optional[float] = None,
+                          per_parameter_tol: float = 0.0
                           ) -> Tuple[object, Dict[str, dict]]:
     """Pick the sampler temperature maximizing a UQ objective.
 
@@ -86,9 +88,11 @@ def calibrate_temperature(model, params, val_conditions: np.ndarray,
     per_parameter=True upgrades the pick to a VECTOR temperature: each
     of the P parameters independently takes its best grid value by the
     per-parameter objective (selection reuses the scalar sweep's samples
-    — zero extra sampling), then ONE verification arm runs with the
-    assembled vector (records["vector"], carrying its own joint scores
-    and the vector under "temperature"). Returns (tuple_of_P, records).
+    — zero extra sampling; see pick_temperature_per_param for the
+    per_parameter_target / per_parameter_tol threshold rules), then ONE
+    verification arm runs with the assembled vector (records["vector"],
+    carrying its own joint scores and the vector under "temperature").
+    Returns (tuple_of_P, records).
     """
     if objective not in _OBJECTIVES:
         raise ValueError(f"unknown objective {objective!r}")
@@ -117,7 +121,9 @@ def calibrate_temperature(model, params, val_conditions: np.ndarray,
             f"temperature in {list(temperatures)!r} — the posterior is "
             "degenerate on this val split (check valid_fraction)")
     if per_parameter:
-        vec = pick_temperature_per_param(records, objective)
+        vec = pick_temperature_per_param(records, objective,
+                                         target=per_parameter_target,
+                                         tol=per_parameter_tol)
         run_cfg = dataclasses.replace(base, temperature=tuple(vec))
         rec = _run_arm(model, params, val_conditions, val_true, schedule,
                        key, param_scaler, run_cfg, n_realizations,
@@ -130,15 +136,29 @@ def calibrate_temperature(model, params, val_conditions: np.ndarray,
 
 
 def pick_temperature_per_param(records: Dict[str, dict],
-                               objective: str) -> np.ndarray:
-    """Per-parameter argmax over a SCALAR temperature sweep's records.
+                               objective: str,
+                               target: Optional[float] = None,
+                               tol: float = 0.0) -> np.ndarray:
+    """Per-parameter selection over a SCALAR temperature sweep's records.
 
     records: the str(temp) -> record map a calibrate_temperature sweep
     produced (each record carrying the "per_parameter" objective lists).
-    For each parameter j, picks the grid temperature maximizing
-    per_parameter[objective][j]; ties break toward the LOWEST
-    temperature. Selection is free — the expensive part (sampling the
-    grid) already happened. Returns a (P,) float array.
+    For each parameter j, picks the LOWEST grid temperature whose
+    per_parameter[objective][j] reaches a threshold:
+
+      * target given: threshold = target (a coverage target like 0.95 —
+        the sharpest tempering that still covers, per parameter). A
+        parameter that never reaches it falls back to its argmax.
+      * else: threshold = (that parameter's max) - tol. tol=0 is the
+        plain argmax with ties toward the lowest temperature; a small
+        tol (~0.01-0.02) stops val-noise at a saturating objective from
+        dragging individual parameters to needlessly high temperatures
+        (coverage accuracy caps at 0.98 by construction, so its argmax
+        over-inflates — measured on the full-scale student,
+        docs/results/flagship_fullscale/pparam_*.json).
+
+    Selection is free — the expensive part (sampling the grid) already
+    happened. Returns a (P,) float array.
     """
     if objective not in _OBJECTIVES:
         raise ValueError(f"unknown objective {objective!r}")
@@ -165,9 +185,17 @@ def pick_temperature_per_param(records: Dict[str, dict],
         raise ValueError(
             f"objective {objective!r} is NaN at every grid temperature "
             f"for parameter indices {bad.tolist()}")
-    # nanargmax with NaN-safe fill; ties -> first (lowest) temperature
+    # NaN-safe fill; argmax ties -> first (lowest) temperature
     filled = np.where(np.isnan(scores), -np.inf, scores)
-    return temps_arr[np.argmax(filled, axis=0)]
+    argmax_pick = np.argmax(filled, axis=0)
+    thresh = (filled.max(axis=0) - tol) if target is None \
+        else np.full(filled.shape[1], float(target))
+    meets = filled >= thresh[None, :]
+    # first (lowest) temperature meeting the threshold; fall back to the
+    # argmax where nothing does (only possible with an explicit target)
+    first_ok = np.where(meets.any(axis=0), np.argmax(meets, axis=0),
+                        argmax_pick)
+    return temps_arr[first_ok]
 
 
 def calibrate_guidance(model, params, val_conditions: np.ndarray,

@@ -38,6 +38,8 @@ def _load_cfg(args, adopt_checkpoint: bool = False
         overrides["batch_size"] = args.batch_size
     if getattr(args, "seed", None) is not None:
         overrides["seed"] = args.seed
+    if getattr(args, "split_seed", None) is not None:
+        overrides["split_seed"] = args.split_seed
     if getattr(args, "checkpoint_dir", None):
         overrides["checkpoint_dir"] = args.checkpoint_dir
     if getattr(args, "save_every", None) is not None:
@@ -69,16 +71,21 @@ def _load_cfg(args, adopt_checkpoint: bool = False
 
 
 def _split_seed(args, cfg) -> int:
-    """The train/val/test split is pinned to the TRAIN-TIME seed from the
-    checkpoint echo — --seed must only vary the sampling randomness.
-    Overriding the split seed would silently leak trained-on rows into
-    the evaluation split (optimistic UQ)."""
+    """The train/val/test split is pinned to the TRAIN-TIME split seed
+    from the checkpoint echo (TrainConfig.split_seed when the model
+    trained with one, else its train seed) — --seed must only vary the
+    sampling randomness. Overriding the split seed would silently leak
+    trained-on rows into the evaluation split (optimistic UQ)."""
     if getattr(args, "checkpoint_dir", None):
         from .train import saved_config
         saved = saved_config(args.checkpoint_dir)
-        if saved and "seed" in saved.get("train", {}):
-            return int(saved["train"]["seed"])
-    return cfg.train.seed
+        tr = (saved or {}).get("train", {})
+        if tr.get("split_seed") is not None:
+            return int(tr["split_seed"])
+        if "seed" in tr:
+            return int(tr["seed"])
+    from .configs import split_seed_of
+    return split_seed_of(cfg.train)
 
 
 def cmd_generate_design(args) -> int:
@@ -350,7 +357,9 @@ def cmd_calibrate(args) -> int:
             cal_key, ds.param_scaler, temperatures=temps,
             objective=args.objective, n_realizations=args.realizations,
             batch_size=cfg.train.batch_size, scfg=scfg, a=ds.a, b=ds.b,
-            per_parameter=getattr(args, "per_parameter", False))
+            per_parameter=getattr(args, "per_parameter", False),
+            per_parameter_target=getattr(args, "pp_target", None),
+            per_parameter_tol=getattr(args, "pp_tol", 0.0))
         best_out = list(best) if isinstance(best, tuple) else best
         result = {"best_temperature": best_out,
                   "objective": args.objective, "records": records}
@@ -549,6 +558,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--epochs", type=int, default=None)
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--seed", type=int, default=None)
+    t.add_argument("--split-seed", type=int, default=None,
+                   dest="split_seed",
+                   help="pin the train/val/test split independently of "
+                        "--seed (deep-ensemble members: same split, "
+                        "different training stochasticity)")
     t.add_argument("--checkpoint-dir", default=None)
     t.add_argument("--mesh-data", type=int, default=0)
     t.add_argument("--log-file", default=None)
@@ -613,6 +627,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pick a PER-PARAMETER temperature vector from "
                          "the same sweep (zero extra sampling) + one "
                          "verification arm")
+    ca.add_argument("--pp-target", type=float, default=None,
+                    dest="pp_target",
+                    help="per-parameter threshold rule: lowest grid T "
+                         "reaching this objective value per parameter "
+                         "(e.g. a 0.95 coverage target)")
+    ca.add_argument("--pp-tol", type=float, default=0.0, dest="pp_tol",
+                    help="per-parameter tolerance below each "
+                         "parameter's max (lowest T within tol)")
     ca.add_argument("--sampler", choices=["ancestral", "ddim", "dpmpp", "pd"],
                     default=None)
     ca.add_argument("--steps", type=int, default=None,

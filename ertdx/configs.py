@@ -87,6 +87,12 @@ class TrainConfig:
     num_epochs: int = 500
     seed: int = 42
     split: Tuple[float, float] = (0.8, 0.1)
+    # data-split seed, decoupled from `seed` (which drives init/shuffle/
+    # noise). None = use `seed` (reference semantics: one seed for
+    # everything, ERT_Conditional_Diffusion.py:19-23, 271-276). Set it
+    # to train DEEP-ENSEMBLE members: same split (no train->test
+    # leakage between members), different training stochasticity.
+    split_seed: "int | None" = None
     deterministic_val: bool = False  # reference semantics: t/eps are
                                      # re-randomized per val epoch
                                      # (ERT_Conditional_Diffusion.py:331-333).
@@ -162,6 +168,14 @@ class ExperimentConfig:
     sample: SampleConfig = SampleConfig()
     mesh: MeshConfig = MeshConfig()
     name: str = "default"
+
+
+def split_seed_of(tcfg: "TrainConfig") -> int:
+    """The seed pinning the train/val/test split: split_seed when set,
+    else the training seed. Single source of truth for train/distill/
+    CLI so ensemble members and evaluators can never disagree on the
+    split."""
+    return tcfg.seed if tcfg.split_seed is None else int(tcfg.split_seed)
 
 
 def _replace(cfg, **kw):

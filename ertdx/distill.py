@@ -421,10 +421,15 @@ def distill(cfg: ExperimentConfig, dcfg: DistillConfig,
     mcfg = dataclasses.replace(cfg.model, parameterization="v")
     model = build_model(mcfg)
 
-    # ---- data: same split discipline as train() (train-time seed) ----
+    # ---- data: same split discipline as train() (the teacher's
+    # train-time split seed — split_seed when it trained with one) ----
     n = len(dataset)
-    seed = int(saved.get("train", {}).get("seed", cfg.train.seed))
-    train_idx, val_idx, _ = data_lib.split_dataset(n, seed, cfg.train.split)
+    saved_tr = saved.get("train", {})
+    seed = int(saved_tr.get("seed", cfg.train.seed))
+    sseed = saved_tr.get("split_seed")
+    split_seed = seed if sseed is None else int(sseed)
+    train_idx, val_idx, _ = data_lib.split_dataset(n, split_seed,
+                                                   cfg.train.split)
     x0_tr = dataset.params_u[train_idx]
     cond_tr = dataset.conditions[train_idx]
     x0_va = dataset.params_u[val_idx]

@@ -330,3 +330,52 @@ def posterior_over_dataset(model, params, conditions: np.ndarray,
         preds.append(phys)
         masks.append(mask)
     return np.concatenate(preds, axis=1), np.concatenate(masks, axis=1)
+
+
+def posterior_over_dataset_mixture(members, conditions: np.ndarray,
+                                   schedule: DiffusionSchedule,
+                                   key: jax.Array, param_scaler, *,
+                                   n_realizations: int = 50,
+                                   batch_size: int = 32,
+                                   scfg: Optional[SampleConfig] = None,
+                                   a: float = 0.0, b: float = 1.0,
+                                   space: Optional[ParameterSpace] = None,
+                                   mesh=None
+                                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Deep-ensemble posterior: an equal-weight MIXTURE over independently
+    trained members.
+
+    members: sequence of (model, params) — e.g. K seeds of the flagship
+    trained with the SAME TrainConfig.split_seed (so no member's training
+    rows leak into the shared evaluation split) but different `seed`s.
+    The n_realizations budget splits as evenly as possible across
+    members (first `n_realizations % K` members take one extra); each
+    member runs the standard pipelined test-set driver with its own
+    folded key, so a K=1 mixture is exactly posterior_over_dataset.
+    Returns the same (pred (R, N, P) physical, valid (R, N)) contract —
+    realizations from different members simply stack on the R axis,
+    which IS the equal-weight mixture posterior (every downstream
+    metric/statistic treats the R axis as exchangeable draws).
+
+    The reference has no analogue (single model, single seed); this is
+    the measured mitigation axis for single-model posterior collapse
+    that needs no tempering knob (epistemic spread between members).
+    """
+    members = list(members)
+    if not members:
+        raise ValueError("members is empty")
+    k = len(members)
+    shares = [n_realizations // k + (1 if i < n_realizations % k else 0)
+              for i in range(k)]
+    preds, masks = [], []
+    for i, ((model, params), share) in enumerate(zip(members, shares)):
+        if share == 0:
+            continue
+        p, m = posterior_over_dataset(
+            model, params, conditions, schedule,
+            jax.random.fold_in(key, i), param_scaler,
+            n_realizations=share, batch_size=batch_size, scfg=scfg,
+            a=a, b=b, space=space, mesh=mesh)
+        preds.append(p)
+        masks.append(m)
+    return np.concatenate(preds, axis=0), np.concatenate(masks, axis=0)

@@ -470,7 +470,8 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
     checkpoint_dir = checkpoint_dir or tcfg.checkpoint_dir
 
     n = len(dataset)
-    train_idx, val_idx, _ = data_lib.split_dataset(n, tcfg.seed, tcfg.split)
+    train_idx, val_idx, _ = data_lib.split_dataset(
+        n, configs_lib.split_seed_of(tcfg), tcfg.split)
 
     model = build_model(cfg.model)
     schedule = get_diffusion_schedule(cfg.diffusion.T,

@@ -262,3 +262,29 @@ def test_calibrate_per_parameter_end_to_end(tiny_dataset):
     assert vec["temperature"] == list(best)
     assert np.isfinite(vec["goodness"])
     assert "scalar_winner" in vec
+
+
+def test_pick_per_param_target_and_tol_rules():
+    """Threshold rules: `target` takes the lowest T reaching the target
+    per parameter (argmax fallback when unreachable); `tol` takes the
+    lowest T within tol of that parameter's max."""
+    from ertdx.calibrate import pick_temperature_per_param
+
+    def rec(acc):
+        return {"per_parameter": {"accuracy": acc,
+                                  "precision": [0.0] * len(acc),
+                                  "goodness": [0.0] * len(acc)}}
+
+    recs = {"1.0": rec([0.90, 0.50, 0.97]),
+            "2.0": rec([0.96, 0.80, 0.98]),
+            "3.0": rec([0.98, 0.85, 0.98])}
+    # target 0.95: p0 -> 2.0 (first >= .95), p1 never reaches -> argmax
+    # 3.0, p2 -> 1.0
+    vec = pick_temperature_per_param(recs, "accuracy", target=0.95)
+    assert vec.tolist() == [2.0, 3.0, 1.0]
+    # tol 0.02: thresholds are max-0.02 = [.96, .83, .96]
+    vec = pick_temperature_per_param(recs, "accuracy", tol=0.02)
+    assert vec.tolist() == [2.0, 3.0, 1.0]
+    # tol 0: plain argmax (lowest on ties) — p2 ties at 2.0 vs 3.0
+    vec = pick_temperature_per_param(recs, "accuracy")
+    assert vec.tolist() == [3.0, 3.0, 2.0]

@@ -387,3 +387,69 @@ def test_sample_seed_does_not_move_the_split(tiny_dataset, tmp_path):
     got = _load_cfg(args, adopt_checkpoint=True)
     assert got.train.seed == 7                 # sampling key seed
     assert _split_seed(args, got) == 42        # split seed: train-time
+
+
+def test_split_seed_decouples_split(tiny_dataset, tmp_path):
+    """TrainConfig.split_seed pins the data split independently of the
+    training seed: the helper resolves it, train() uses it (moving it
+    moves the val split at fixed seed), the checkpoint echo carries it,
+    and the CLI split resolver prefers it."""
+    from types import SimpleNamespace
+
+    from ertdx.cli import _split_seed
+    from ertdx.configs import split_seed_of
+
+    assert split_seed_of(configs.TrainConfig(seed=5)) == 5
+    assert split_seed_of(configs.TrainConfig(seed=5, split_seed=7)) == 7
+
+    r_a = train(_cfg(seed=5, num_epochs=1), tiny_dataset)
+    r_b = train(_cfg(seed=5, split_seed=7, num_epochs=1), tiny_dataset)
+    # same training stochasticity, different val rows -> different val
+    assert r_a.val_history[0] != r_b.val_history[0]
+
+    cfg = _cfg(tmp_path, seed=5, split_seed=7, num_epochs=1)
+    train(cfg, tiny_dataset)
+    args = SimpleNamespace(checkpoint_dir=cfg.train.checkpoint_dir)
+    assert _split_seed(args, cfg) == 7
+    # no checkpoint dir: falls back to the config's resolver
+    assert _split_seed(SimpleNamespace(), cfg) == 7
+
+
+def test_posterior_over_dataset_mixture(tiny_dataset):
+    """Deep-ensemble mixture: realization budget splits across members,
+    K=1 reduces exactly to the single-model driver (folded key), and
+    draws from distinct members actually differ."""
+    from ertdx.sample import posterior_over_dataset_mixture
+
+    cfg = _cfg()
+    res1 = train(cfg, tiny_dataset)
+    res2 = train(_cfg(seed=123), tiny_dataset)
+    model = build_model(cfg.model)
+    sch = get_diffusion_schedule(cfg.diffusion.T)
+    conds = tiny_dataset.conditions[:8]
+    key = jax.random.key(3)
+
+    members = [(model, res1.state.params), (model, res2.state.params)]
+    pred, mask = posterior_over_dataset_mixture(
+        members, conds, sch, key, tiny_dataset.param_scaler,
+        n_realizations=5, batch_size=4)
+    assert pred.shape == (5, 8, 29) and mask.shape == (5, 8)
+
+    # member 0 took ceil(5/2)=3 draws with fold_in(key, 0)
+    p0, _ = posterior_over_dataset(
+        model, res1.state.params, conds, sch, jax.random.fold_in(key, 0),
+        tiny_dataset.param_scaler, n_realizations=3, batch_size=4)
+    np.testing.assert_array_equal(pred[:3], p0)
+    # distinct members -> distinct draws
+    assert not np.allclose(pred[:2].mean(axis=0), pred[3:].mean(axis=0))
+
+    # K=1 mixture == the single-model driver under the folded key
+    p_k1, _ = posterior_over_dataset_mixture(
+        [(model, res1.state.params)], conds, sch, key,
+        tiny_dataset.param_scaler, n_realizations=3, batch_size=4)
+    np.testing.assert_array_equal(p_k1, p0)
+
+    import pytest
+    with pytest.raises(ValueError, match="empty"):
+        posterior_over_dataset_mixture([], conds, sch, key,
+                                       tiny_dataset.param_scaler)
