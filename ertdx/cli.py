@@ -254,6 +254,9 @@ def cmd_sample(args) -> int:
         overrides["ddim_eta"] = args.eta
     if args.guidance is not None:
         overrides["guidance_scale"] = args.guidance
+    if getattr(args, "guidance_interval", None):
+        lo, hi = (float(x) for x in args.guidance_interval.split(","))
+        overrides["guidance_interval"] = (lo, hi)
     if overrides:
         scfg = dataclasses.replace(scfg, **overrides)
     pred, mask = posterior_over_dataset(
@@ -328,6 +331,9 @@ def cmd_calibrate(args) -> int:
         overrides["ddim_eta"] = args.eta
     if getattr(args, "guidance", None) is not None:
         overrides["guidance_scale"] = args.guidance
+    if getattr(args, "guidance_interval", None):
+        lo, hi = (float(x) for x in args.guidance_interval.split(","))
+        overrides["guidance_interval"] = (lo, hi)
     if overrides:
         scfg = dataclasses.replace(scfg, **overrides)
     cal_key = jax.random.key(args.seed if args.seed is not None
@@ -606,6 +612,10 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--guidance", type=float, default=None,
                     help="classifier-free guidance scale (needs a model "
                          "trained with --uncond-prob > 0)")
+    sa.add_argument("--guidance-interval", default=None,
+                    dest="guidance_interval",
+                    help="lo,hi chain fractions: guide only at "
+                         "lo*T <= t < hi*T (1x denoiser cost outside)")
     sa.add_argument("--uncond-prob", type=float, default=None,
                     help="the checkpoint's training value (builds the "
                          "matching restore template)")
@@ -643,6 +653,10 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--eta", type=float, default=None)
     ca.add_argument("--guidance", type=float, default=None,
                     help="CFG scale to calibrate under")
+    ca.add_argument("--guidance-interval", default=None,
+                    dest="guidance_interval",
+                    help="lo,hi chain fractions: guide only at "
+                         "lo*T <= t < hi*T (as at sample time)")
     ca.add_argument("--guidance-grid", default=None,
                     help="comma list of CFG scales: jointly calibrate "
                          "(guidance, temperature) on the val split "

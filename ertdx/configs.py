@@ -152,6 +152,14 @@ class SampleConfig:
     # 1.0 = pure conditional (no extra cost); != 1 doubles denoiser calls
     # and requires a model trained with ModelConfig.uncond_prob > 0.
     guidance_scale: float = 1.0
+    # guidance interval (lo, hi) as fractions of the chain: CFG applies
+    # only at timesteps lo*T <= t < hi*T; outside, the step is pure
+    # conditional at 1x denoiser cost (lax.cond skips the null pass
+    # entirely). (0, 1) = guide everywhere (the classic CFG program).
+    # Limited-interval guidance is a measured quality/cost lever
+    # (Kynkaanniemi et al. 2024, arXiv:2404.07724: guidance helps at
+    # mid noise levels, hurts at the extremes).
+    guidance_interval: Tuple[float, float] = (0.0, 1.0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,10 +61,11 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
     # the whole reverse scan per value
     # guidance_scale enters as a TRACED scalar; only the guided/unguided
     # program structure is part of the key
+    interval = tuple(getattr(scfg, "guidance_interval", (0.0, 1.0)))
     key_ = (_cache_token(model), n_realizations, P, scfg.sampler,
             scfg.ddim_steps, scfg.ddim_eta, scfg.dpmpp_steps,
             getattr(scfg, "pd_steps", 4),
-            scfg.guidance_scale != 1.0,
+            scfg.guidance_scale != 1.0, interval,
             truncate_steps, T, tuple(cond_shape), batch,
             _cache_token(mesh))
     fn = _ENSEMBLE_CACHE.get(key_)
@@ -138,6 +139,15 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
             "guidance_scale != 1 requires a model trained with condition "
             "dropout (ModelConfig.uncond_prob > 0, classifier-free "
             "guidance)")
+    if interval != (0.0, 1.0):
+        if not (0.0 <= interval[0] < interval[1] <= 1.0):
+            raise ValueError(f"guidance_interval must satisfy 0 <= lo < "
+                             f"hi <= 1, got {interval}")
+        if not guided:
+            # silently ignoring the interval would return different
+            # samples than the caller asked for
+            raise ValueError("guidance_interval is set but "
+                             "guidance_scale == 1 (nothing to schedule)")
     cond_major = mega is not None or ensemble_native
 
     @jax.jit
@@ -198,9 +208,25 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
                                    method=model.drop_condition)
             fn_c, fn_u = mk(cond_ctx), mk(null_ctx)
 
-            def denoise_fn(x, t):
+            def guided_fn(x, t):
                 eps_u = fn_u(x, t)
                 return eps_u + guidance * (fn_c(x, t) - eps_u)
+
+            if interval == (0.0, 1.0):
+                denoise_fn = guided_fn     # classic CFG, no cond wrapper
+            else:
+                # limited-interval guidance: the samplers broadcast ONE
+                # t over every chain, so the scalar t[0] decides and
+                # lax.cond truly SKIPS the null pass outside the
+                # interval (1x cost there). Interval bounds are static
+                # (part of the program key); [lo*T, hi*T) in t-index.
+                lo_idx = int(round(interval[0] * T))
+                hi_idx = int(round(interval[1] * T))
+
+                def denoise_fn(x, t):
+                    inside = (t[0] >= lo_idx) & (t[0] < hi_idx)
+                    return jax.lax.cond(inside, guided_fn,
+                                        lambda x, t: fn_c(x, t), x, t)
         else:
             denoise_fn = mk(cond_ctx)
 

@@ -184,7 +184,8 @@ class PosteriorService:
 #: present builds a SampleConfig (a request carrying only, say,
 #: guidance_scale or temperature must not be silently ignored)
 _SAMPLER_KEYS = ("sampler", "ddim_steps", "ddim_eta", "dpmpp_steps",
-                 "pd_steps", "guidance_scale", "temperature")
+                 "pd_steps", "guidance_scale", "guidance_interval",
+                 "temperature")
 
 
 def _temperature_cast(v):
@@ -197,6 +198,8 @@ def _temperature_cast(v):
 _SAMPLER_CASTS = {"sampler": str, "ddim_steps": int, "ddim_eta": float,
                   "dpmpp_steps": int, "pd_steps": int,
                   "guidance_scale": float,
+                  "guidance_interval":
+                      lambda v: tuple(float(x) for x in v),
                   "temperature": _temperature_cast}
 
 

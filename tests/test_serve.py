@@ -133,6 +133,10 @@ def test_scfg_from_request_gate():
     scfg = scfg_from_request({"conditions": [], "temperature": [1.0, 2.5]})
     assert scfg.temperature == (1.0, 2.5)
     hash(scfg)
+    scfg = scfg_from_request({"conditions": [],
+                              "guidance_interval": [0.2, 0.8]})
+    assert scfg.guidance_interval == (0.2, 0.8)
+    hash(scfg)
 
 
 def test_masked_posterior_stats():

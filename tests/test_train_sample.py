@@ -453,3 +453,47 @@ def test_posterior_over_dataset_mixture(tiny_dataset):
     with pytest.raises(ValueError, match="empty"):
         posterior_over_dataset_mixture([], conds, sch, key,
                                        tiny_dataset.param_scaler)
+
+
+def test_guidance_interval_scheduling(tiny_dataset, tmp_path):
+    """Limited-interval CFG: (0,1) is exactly the classic guided program,
+    an interval that excludes every step reduces to the unguided chain,
+    a mid interval is a third distinct program, and misuse raises."""
+    from ertdx.sample import posterior_ensemble
+
+    cfg = _cfg(tmp_path, num_epochs=2)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, name="condunet",
+                                       uncond_prob=0.2))
+    res = train(cfg, tiny_dataset)
+    model = build_model(cfg.model)
+    sch = get_diffusion_schedule(cfg.diffusion.T)
+    conds = jnp.asarray(tiny_dataset.conditions[:3])
+
+    def draw(g, interval=(0.0, 1.0), sampler="dpmpp"):
+        scfg = configs.SampleConfig(
+            uncertainty_samples=4, sampler=sampler, dpmpp_steps=4,
+            guidance_scale=g, guidance_interval=interval)
+        return np.asarray(posterior_ensemble(
+            model, res.state.params, conds, sch, jax.random.key(0),
+            n_realizations=4, scfg=scfg))
+
+    full = draw(3.0)
+    # (0, 1) is the default — same cached program, identical values
+    np.testing.assert_array_equal(full, draw(3.0, (0.0, 1.0)))
+    # an interval covering no timestep = the unguided chain
+    unguided = draw(1.0)
+    np.testing.assert_allclose(draw(3.0, (0.0, 1e-6)), unguided,
+                               atol=1e-6)
+    # guiding only the noisy half: distinct from both
+    half = draw(3.0, (0.5, 1.0))
+    assert not np.allclose(half, full)
+    assert not np.allclose(half, unguided)
+    # ancestral path takes the interval too
+    anc = draw(3.0, (0.5, 1.0), sampler="ancestral")
+    assert np.isfinite(anc).all()
+
+    with pytest.raises(ValueError, match="nothing to schedule"):
+        draw(1.0, (0.5, 1.0))
+    with pytest.raises(ValueError, match="0 <= lo < hi <= 1"):
+        draw(2.0, (0.9, 0.2))
