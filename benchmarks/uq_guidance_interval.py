@@ -11,8 +11,9 @@ accuracy/precision/goodness, ERT_Conditional_Diffusion.py:1089-1137),
 which part of the chain the guidance effect actually lives in, and how
 much of the full-interval UQ shift survives at each cost reduction.
 
-Per-chain denoiser calls = T * (1 + (hi - lo)); each interval is its own
-program (static bounds) but temperature/guidance stay traced.
+Per-chain denoiser calls = T + (round(hi*T) - round(lo*T)) (the sampler's
+own lo_idx/hi_idx rounding); each interval is its own program (static
+bounds) but temperature/guidance stay traced.
 
 Usage (after flagship_fullscale.py run --uncond-prob 0.1):
   python benchmarks/uq_guidance_interval.py [--seed 42] [--g 0.7]
@@ -77,7 +78,16 @@ def main() -> int:
     state, _, _ = load_best_model(str(rdir / "ckpt"), cfg, ds)
     model = build_model(cfg.model)
     schedule = get_diffusion_schedule(T)
-    _, _, test_idx = data_lib.split_dataset(N, args.seed, (0.8, 0.1))
+    # split seed from the checkpoint's OWN train-time echo (split_seed
+    # when set, else its train seed) — pointing this script at a
+    # checkpoint trained with split_seed != seed must not leak trained
+    # rows into the evaluation split
+    from ertdx.train import saved_config
+    tcfg = configs._fields_from_dict(
+        configs.TrainConfig(seed=args.seed),
+        (saved_config(str(rdir / "ckpt")) or {}).get("train", {}))
+    _, _, test_idx = data_lib.split_dataset(
+        N, configs.split_seed_of(tcfg), (0.8, 0.1))
     conds = np.asarray(ds.conditions[test_idx])
     true_phys = np.asarray(ds.param_scaler.inverse(
         inverse_transform(np.asarray(ds.params_u[test_idx]), ds.a, ds.b)))
@@ -104,7 +114,11 @@ def main() -> int:
                "ensemble_sd_mean": float(pred.std(axis=0).mean()),
                "rmse_mean_estimator": float(np.sqrt(
                    ((pred.mean(axis=0) - true_phys) ** 2).mean())),
-               "calls_per_chain": int(round(T * (1 + hi - lo))),
+               # every step runs the conditional pass; the null pass only
+               # inside [lo_idx, hi_idx) — mirror sample.py's rounding
+               # (ertdx/sample.py lo_idx/hi_idx), not round(T*(1+hi-lo))
+               "calls_per_chain":
+                   T + (int(round(hi * T)) - int(round(lo * T))),
                "seconds": round(dt, 1)}
         out["arms"][f"{lo}:{hi}"] = rec
         print(json.dumps({f"{lo}:{hi}": rec}), flush=True)
