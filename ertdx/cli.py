@@ -373,6 +373,34 @@ def cmd_calibrate(args) -> int:
     if args.out:
         Path(args.out).write_text(json.dumps(result))
         print(f"wrote {args.out}")
+    if getattr(args, "commit", False):
+        # make the pick DEPLOYABLE: the winning sampling config (the
+        # effective sampler/steps/eta it was calibrated under, plus the
+        # picked temperature and guidance) goes into the checkpoint's
+        # config echo, so `ertdiff sample/serve --checkpoint-dir ...`
+        # produce the calibrated posterior with zero sampling flags.
+        from .utils.checkpoint import commit_sample_config
+        if getattr(args, "guidance_grid", None):
+            winning = dataclasses.replace(scfg, temperature=best_t,
+                                          guidance_scale=best_g)
+        else:
+            winning = dataclasses.replace(
+                scfg, temperature=(tuple(best_out)
+                                   if isinstance(best_out, list)
+                                   else float(best_out)))
+        audit = {"objective": args.objective, "temps": temps,
+                 "realizations": args.realizations,
+                 "ema": bool(getattr(args, "ema", False)),
+                 "result": {k: v for k, v in result.items()
+                            if k != "records"}}
+        if getattr(args, "guidance_grid", None):
+            audit["guidance_grid"] = [
+                float(g) for g in args.guidance_grid.split(",") if g]
+        paths = commit_sample_config(args.checkpoint_dir,
+                                     dataclasses.asdict(winning),
+                                     calibration=audit)
+        print(f"committed calibrated sample config into "
+              f"{', '.join(str(p) for p in paths)}")
     return 0
 
 
@@ -669,6 +697,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "template)")
     ca.add_argument("--seed", type=int, default=None)
     ca.add_argument("--out", default=None)
+    ca.add_argument("--commit", action="store_true",
+                    help="persist the winning (temperature, guidance, "
+                         "sampler) into the checkpoint's config echo so "
+                         "sample/serve deploy it with zero flags")
     ca.set_defaults(fn=cmd_calibrate)
 
     di = sub.add_parser("distill",

@@ -581,9 +581,13 @@ def _save_student(dir_, state, steps, stages, cfg, mcfg, dcfg, seed,
     cfg_out = dataclasses.replace(
         cfg, model=mcfg, train=tr_out,
         # guidance_scale=1: a guided-distilled student BAKES the guidance
-        # in — sampling it guided would double-apply it (and 2x the cost)
+        # in — sampling it guided would double-apply it (and 2x the cost).
+        # The interval must reset with it: an inherited (lo, hi) from a
+        # calibrate-committed teacher echo with g==1 is rejected by the
+        # sampler ("nothing to schedule").
         sample=dataclasses.replace(cfg.sample, sampler="pd",
-                                   pd_steps=steps, guidance_scale=1.0))
+                                   pd_steps=steps, guidance_scale=1.0,
+                                   guidance_interval=(0.0, 1.0)))
     _save(dir_, "best", state, dataset, cfg_out,
           {"distilled_from": str(teacher_dir), "target_steps": steps,
            "baked_guidance_scale": dcfg.guidance_scale,

@@ -88,6 +88,44 @@ def load_scalers(ckpt_dir) -> Dict[str, MinMaxScaler]:
     return scalers
 
 
+def commit_sample_config(checkpoint_root, sample_fields: Dict[str, Any],
+                         calibration: Optional[Dict[str, Any]] = None
+                         ) -> list:
+    """Persist a calibrated sampling configuration into a checkpoint's
+    config echo, making the pick deployable with ZERO sampling flags.
+
+    The reference exposes the sampler-temperature knob but never chooses
+    it (ERT_Conditional_Diffusion.py:103,115-118); ertdx calibrates it on
+    the val split (ertdx.calibrate) — this writes the winning
+    (temperature, guidance, sampler/steps) into `meta.json["config"]
+    ["sample"]` of every checkpoint under `checkpoint_root` ("best" and,
+    if present, "last"), so `ertdiff sample/serve` and any
+    `train.saved_config` consumer adopt the calibrated posterior by
+    default (explicit flags still win). `calibration` (objective, grid,
+    winning scores, ...) lands under meta["calibration"] as the audit
+    record. Atomic rewrite; returns the updated meta.json paths.
+    """
+    root = Path(checkpoint_root)
+    updated = []
+    for name in ("best", "last"):
+        p = root / name / "meta.json"
+        if not p.exists():
+            continue
+        meta = json.loads(p.read_text())
+        cfg = meta.setdefault("config", {})
+        cfg.setdefault("sample", {}).update(sample_fields)
+        if calibration is not None:
+            meta["calibration"] = calibration
+        _atomic_write(p, json.dumps(meta, indent=2,
+                                    default=_json_default).encode())
+        updated.append(p)
+    if not updated:
+        raise FileNotFoundError(
+            f"no best/ or last/ meta.json under {root} — is this a "
+            "checkpoint directory?")
+    return updated
+
+
 def _json_default(o):
     if isinstance(o, (np.floating, np.integer)):
         return o.item()

@@ -84,17 +84,39 @@ def test_train_then_sample_then_metrics(tmp_path):
         assert pred2.shape == pred.shape
         assert np.isfinite(pred2).all()
 
-        # temperature calibration on the val split
+        # temperature calibration on the val split; --commit persists the
+        # pick (and the sampler it was calibrated under) into the echo
         cal_out = tmp_path / "calibration.json"
         rc = main(["calibrate", "--params", str(p_path), "--ert",
                    str(e_path), "--checkpoint-dir", str(ck),
                    "--preset", "tiny_test", "--temps", "1.0,2.0",
                    "--sampler", "dpmpp", "--realizations", "3",
-                   "--out", str(cal_out)])
+                   "--out", str(cal_out), "--commit"])
         assert rc == 0
         cal = json.loads(cal_out.read_text())
         assert cal["best_temperature"] in (1.0, 2.0)
         assert set(cal["records"]) == {"1.0", "2.0"}
+        meta = json.loads((ck / "best" / "meta.json").read_text())
+        assert meta["config"]["sample"]["temperature"] == \
+            cal["best_temperature"]
+        assert meta["config"]["sample"]["sampler"] == "dpmpp"
+        assert meta["calibration"]["objective"] == "goodness"
+
+        # zero-flag deployment: train -> calibrate --commit -> sample
+        # with NO sampling flags equals the fully-explicit invocation
+        out_zero = tmp_path / "pred_zero.npy"
+        rc = main(["sample", "--params", str(p_path), "--ert", str(e_path),
+                   "--checkpoint-dir", str(ck), "--preset", "tiny_test",
+                   "--realizations", "3", "--out", str(out_zero)])
+        assert rc == 0
+        out_expl = tmp_path / "pred_expl.npy"
+        rc = main(["sample", "--params", str(p_path), "--ert", str(e_path),
+                   "--checkpoint-dir", str(ck), "--preset", "tiny_test",
+                   "--realizations", "3", "--sampler", "dpmpp",
+                   "--temperature", str(cal["best_temperature"]),
+                   "--out", str(out_expl)])
+        assert rc == 0
+        np.testing.assert_array_equal(np.load(out_zero), np.load(out_expl))
 
         # progressive distillation -> a pd-sampler student whose echo
         # makes `sample` work with zero sampler flags
@@ -231,6 +253,26 @@ def test_cfg_train_calibrate_guidance_grid(tmp_path):
         assert set(cal["records"]) == {f"g{g}_T{t}" for g in (0.5, 1.0)
                                        for t in (1.0, 2.0)}
 
+        # commit the joint (guidance, temperature) pick; zero-flag sample
+        # deploys the calibrated GUIDED posterior
+        rc = main(["calibrate", "--params", str(p_path), "--ert",
+                   str(e_path), "--checkpoint-dir", str(ck),
+                   "--preset", "tiny_cfg_test", "--temps",
+                   str(cal["best_temperature"]), "--guidance-grid",
+                   str(cal["best_guidance"]), "--sampler", "dpmpp",
+                   "--steps", "4", "--realizations", "3", "--commit"])
+        assert rc == 0
+        meta = json.loads((ck / "best" / "meta.json").read_text())
+        assert meta["config"]["sample"]["guidance_scale"] == \
+            cal["best_guidance"]
+        assert meta["config"]["sample"]["temperature"] == \
+            cal["best_temperature"]
+        out_zero = tmp_path / "pred_zero.npy"
+        rc = main(["sample", "--params", str(p_path), "--ert", str(e_path),
+                   "--checkpoint-dir", str(ck), "--preset", "tiny_cfg_test",
+                   "--realizations", "3", "--out", str(out_zero)])
+        assert rc == 0
+
         # --guidance and --guidance-grid are mutually exclusive
         with pytest.raises(SystemExit):
             main(["calibrate", "--params", str(p_path), "--ert",
@@ -238,7 +280,8 @@ def test_cfg_train_calibrate_guidance_grid(tmp_path):
                   "--preset", "tiny_cfg_test", "--guidance", "0.7",
                   "--guidance-grid", "0.5,1.0", "--realizations", "3"])
 
-        # guided sampling at the calibrated point
+        # guided sampling at the calibrated point, fully explicit — must
+        # equal the committed zero-flag deployment above
         out = tmp_path / "pred_g.npy"
         rc = main(["sample", "--params", str(p_path), "--ert", str(e_path),
                    "--checkpoint-dir", str(ck), "--preset", "tiny_cfg_test",
@@ -248,5 +291,6 @@ def test_cfg_train_calibrate_guidance_grid(tmp_path):
                    "--steps", "4", "--out", str(out)])
         assert rc == 0
         assert np.isfinite(np.load(out)).all()
+        np.testing.assert_array_equal(np.load(out_zero), np.load(out))
     finally:
         C.PRESETS.pop("tiny_cfg_test", None)

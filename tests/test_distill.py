@@ -222,6 +222,11 @@ def test_guided_distillation_bakes_cfg(tiny_dataset, tmp_path):
         train=dataclasses.replace(configs.TrainConfig(), num_epochs=6,
                                   batch_size=16, log_every=100,
                                   checkpoint_dir=str(tmp_path / "t")),
+        # as if `ertdiff calibrate --commit` had persisted a calibrated
+        # (T, g, interval) into the teacher's echo: the student must
+        # inherit the temperature but RESET both guidance fields
+        sample=configs.SampleConfig(temperature=1.5, guidance_scale=0.8,
+                                    guidance_interval=(0.2, 0.8)),
     )
     tres = train(cfg, tiny_dataset)
     g = 2.5
@@ -260,10 +265,15 @@ def test_guided_distillation_bakes_cfg(tiny_dataset, tmp_path):
     err_unguided = np.abs(np.asarray(u_s) - np.asarray(u_t1)).mean()
     assert err < err_unguided, (err, err_unguided)
 
-    # the student's echo pins guidance_scale back to 1 (baked in)
+    # the student's echo pins guidance_scale back to 1 (baked in) and
+    # resets the interval (an inherited (lo, hi) with g==1 would be
+    # rejected by the sampler); the teacher's calibrated temperature
+    # travels to the student unchanged
     saved = saved_config(out)
     assert saved["sample"]["guidance_scale"] == 1.0
     assert saved["sample"]["sampler"] == "pd"
+    assert tuple(saved["sample"]["guidance_interval"]) == (0.0, 1.0)
+    assert saved["sample"]["temperature"] == 1.5
 
 
 def test_guided_distillation_requires_cfg_teacher(tiny_dataset, tmp_path):
