@@ -539,10 +539,13 @@ def main() -> int:
         extras["b256_error"] = str(e)[:200]
     # b256 in bf16 compute: the measured 1.18x over f32 at this batch
     # (benchmarks/train_bf16.py; quality-safe — 500-epoch best-val
-    # 0.469 vs the f32 seed band 0.483±0.010)
+    # 0.469 vs the f32 seed band 0.483±0.010). Since round 4 this IS the
+    # throughput preset's default (configs.V5E8_DP dtype="bfloat16");
+    # the f32 parity presets are unchanged.
     try:
         extras.update(_measure_train_big_batch("condunet", batch=256,
                                                dtype="bfloat16"))
+        extras["b256_default_dtype"] = "bfloat16"
     except Exception as e:  # noqa: BLE001
         extras["b256_bf16_error"] = str(e)[:200]
 

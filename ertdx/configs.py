@@ -260,10 +260,17 @@ DDIM_ENSEMBLE = ExperimentConfig(
 )
 
 # configs[4]: data-parallel multi-chip training + batched posterior
-# ensemble sampling on a v5e-8 slice.
+# ensemble sampling on a v5e-8 slice. bfloat16 compute is the DEFAULT at
+# this batch: measured 1.18x step speedup at b256 (latency-bound b32 is
+# neutral, so the parity presets stay f32) and quality-safe at the full
+# reference budget (500-epoch best-val 0.4691 inside the f32 band
+# 0.483±0.010, same WSSE closure — docs/results/flagship_fullscale/
+# condunet-bf16_s42). Decision rule for users: flip to bf16 whenever the
+# per-chip batch is compute-bound (>=256 here); keep f32 for small-batch
+# parity work. Params stay f32 either way (dtype is compute-only).
 V5E8_DP = ExperimentConfig(
     name="v5e8_dp",
-    model=_replace(ModelConfig(), name="condunet"),
+    model=_replace(ModelConfig(), name="condunet", dtype="bfloat16"),
     train=_replace(TrainConfig(), batch_size=256),
     sample=SampleConfig(uncertainty_samples=1000, sampler="ddim",
                         ddim_steps=50),

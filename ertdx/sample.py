@@ -302,6 +302,25 @@ def inverse_pipeline(u: jax.Array, param_scaler, a: float = 0.0,
     return phys_np, mask
 
 
+@jax.jit
+def _device_inverse(u: jax.Array, scaler: transforms.MinMaxScaler,
+                    limits: jax.Array, a, b):
+    """The inverse pipeline ON DEVICE, fused into one jitted program:
+    sigmoid inverse -> MinMax inverse -> bounds mask.
+
+    The reference's post-chain runs on host in numpy
+    (ERT_Conditional_Diffusion.py:402-406) — at the terminal serving
+    floor (distilled 1-step students, 508x50 chains in ~0.2 s) that host
+    code WAS the bottleneck (pd1 ~= pd4 in BENCH_r03). scaler is a
+    MinMaxScaler pytree argument (its (P,) state arrays travel as data,
+    never baked-in constants); a/b are traced scalars. Compute is f32
+    (the host path upcasts to f64 — parity is tolerance-level, pinned in
+    test_train_sample.py)."""
+    x = transforms.inverse_transform(u, a, b)
+    phys = scaler.inverse(x)
+    return phys, transforms.param_bounds_mask(phys, limits)
+
+
 def filter_valid(phys: np.ndarray, mask: np.ndarray):
     """Reference-exact row filtering per realization: stack valid rows,
     None when a realization has none (ERT_Conditional_Diffusion.py:406-410).
@@ -323,7 +342,8 @@ def posterior_over_dataset(model, params, conditions: np.ndarray,
                            scfg: Optional[SampleConfig] = None,
                            a: float = 0.0, b: float = 1.0,
                            space: Optional[ParameterSpace] = None,
-                           mesh=None) -> Tuple[np.ndarray, np.ndarray]:
+                           mesh=None, device_inverse: bool = True
+                           ) -> Tuple[np.ndarray, np.ndarray]:
     """Ensemble over a whole (test) set.
 
     Returns (pred (R, N, P) physical params, valid (R, N) mask). Reference:
@@ -332,10 +352,24 @@ def posterior_over_dataset(model, params, conditions: np.ndarray,
     TPU pipelining: the conditions land on device ONCE (per-batch slices
     stay device-side — the host->device link here is a tunnel, and the
     full test set is ~130 MB that must not be re-uploaded per batch), and
-    every batch is DISPATCHED before the first result is read back, so
-    host-side inverse/bounds work overlaps device compute instead of
-    serializing with it. Keys are folded per batch exactly as before, so
-    results are bitwise identical to the sequential loop.
+    every batch is DISPATCHED before the first result is read back.
+
+    ONE compiled program per workload: a ragged tail batch (n % batch_size
+    != 0) is padded by repeating the last condition, so it reuses the SAME
+    compiled ensemble program as the full batches instead of building a
+    second full reverse-scan (the ensemble cache keys on batch size; on
+    this environment's flaky remote compiles that second program was real
+    wall-clock and a hang risk). Padded rows are sliced off before the
+    inverse. Full batches stay bitwise identical to the sequential loop
+    (keys fold per batch index as before); tail-row draws come from the
+    padded-batch program (same posterior, different random-bit split —
+    pinned in tests/test_train_sample.py).
+
+    device_inverse=True (default) runs the whole inverse pipeline
+    (sigmoid -> MinMax inverse -> bounds mask) ON DEVICE in one jitted
+    program and reads back (phys, mask) in a single transfer — the
+    reference's host post-chain was the measured floor of the terminal
+    distilled workload. False keeps the exact host/f64 numpy path.
     """
     space = space or ParameterSpace()
     n = conditions.shape[0]
@@ -343,19 +377,24 @@ def posterior_over_dataset(model, params, conditions: np.ndarray,
         conditions = jax.device_put(
             np.asarray(conditions),
             replicated(mesh) if mesh is not None else None)
+    bs = min(batch_size, n)
     outs = []
-    for bi, s in enumerate(range(0, n, batch_size)):
-        cond = conditions[s:s + batch_size]
+    for bi, s in enumerate(range(0, n, bs)):
+        cond = conditions[s:s + bs]
+        r = cond.shape[0]
+        if r < bs:
+            pad = jnp.broadcast_to(cond[-1:], (bs - r,) + cond.shape[1:])
+            cond = jnp.concatenate([cond, pad], axis=0)
         bkey = jax.random.fold_in(key, bi)
         outs.append(posterior_ensemble(model, params, cond, schedule, bkey,
                                        n_realizations, scfg, mesh=mesh))
-    preds, masks = [], []
-    for u in outs:
-        phys, mask = inverse_pipeline(np.asarray(u), param_scaler, a, b,
-                                      space)
-        preds.append(phys)
-        masks.append(mask)
-    return np.concatenate(preds, axis=1), np.concatenate(masks, axis=1)
+    u_all = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    u_all = u_all[:, :n]
+    if device_inverse and isinstance(param_scaler, transforms.MinMaxScaler):
+        phys, mask = _device_inverse(u_all, param_scaler,
+                                     jnp.asarray(space.plims), a, b)
+        return jax.device_get((phys, mask))
+    return inverse_pipeline(np.asarray(u_all), param_scaler, a, b, space)
 
 
 def posterior_over_dataset_mixture(members, conditions: np.ndarray,

@@ -32,7 +32,7 @@ from .configs import ExperimentConfig, SampleConfig
 from .diffusion import get_diffusion_schedule
 from .models import build_model
 from .params import ParameterSpace
-from .sample import inverse_pipeline, posterior_ensemble
+from .sample import _device_inverse, posterior_ensemble
 from .train import load_best_model
 
 
@@ -158,8 +158,11 @@ class PosteriorService:
                 self.model, self.params, jnp.asarray(cond), self.schedule,
                 jax.random.key(seed), n_realizations=n_realizations,
                 scfg=scfg, mesh=self.mesh)
-        phys, mask = inverse_pipeline(np.asarray(u)[:, :b],
-                                      self.param_scaler, space=self.space)
+            # inverse pipeline on device (ONE readback of phys+mask); the
+            # host numpy path stays available via sample.inverse_pipeline
+            phys, mask = jax.device_get(_device_inverse(
+                u[:, :b], self.param_scaler,
+                jnp.asarray(self.space.plims), 0.0, 1.0))
         stats = masked_posterior_stats(phys, mask)
         out = {
             **{k: v.tolist() for k, v in stats.items()},

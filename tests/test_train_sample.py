@@ -146,26 +146,47 @@ def test_posterior_over_dataset(tiny_dataset):
     model = build_model(cfg.model)
     sch = get_diffusion_schedule(cfg.diffusion.T)
     conds = tiny_dataset.conditions[:10]
+    from ertdx import sample as sample_lib
+    sample_lib._ENSEMBLE_CACHE.clear()
     pred, mask = posterior_over_dataset(
         model, res.state.params, conds, sch, jax.random.key(0),
         tiny_dataset.param_scaler, n_realizations=3, batch_size=4)
     assert pred.shape == (3, 10, 29)
     assert mask.shape == (3, 10)
+    # ONE compiled ensemble program for the whole ragged workload: the
+    # 2-row tail is padded to batch 4, not compiled as its own program
+    assert len(sample_lib._ENSEMBLE_CACHE) == 1
 
     # the pipelined driver (device-resident conditions, all batches
-    # dispatched before any readback) is BITWISE the sequential loop —
-    # keys fold per batch index identically
+    # dispatched before any readback) matches the sequential loop — keys
+    # fold per batch index identically; the ragged tail runs PADDED (the
+    # last condition repeated to batch size, pad rows sliced off), so its
+    # reference leg pads the same way
     from ertdx.sample import inverse_pipeline, posterior_ensemble
     parts = []
+    conds_np = np.asarray(conds)
     for bi, s in enumerate(range(0, 10, 4)):
-        u = posterior_ensemble(model, res.state.params,
-                               jnp.asarray(np.asarray(conds)[s:s + 4]),
+        sl = conds_np[s:s + 4]
+        if sl.shape[0] < 4:
+            sl = np.concatenate(
+                [sl, np.repeat(sl[-1:], 4 - sl.shape[0], axis=0)], axis=0)
+        u = posterior_ensemble(model, res.state.params, jnp.asarray(sl),
                                sch, jax.random.fold_in(jax.random.key(0),
                                                        bi),
                                n_realizations=3)
         parts.append(inverse_pipeline(np.asarray(u),
                                       tiny_dataset.param_scaler)[0])
-    np.testing.assert_array_equal(pred, np.concatenate(parts, axis=1))
+    ref = np.concatenate(parts, axis=1)[:, :10]
+    # device f32 inverse vs the host f64 pipeline: tolerance-level parity
+    np.testing.assert_allclose(pred, ref, rtol=2e-5, atol=1e-8)
+
+    # the exact host path (device_inverse=False) IS the sequential loop
+    pred_host, mask_host = posterior_over_dataset(
+        model, res.state.params, conds, sch, jax.random.key(0),
+        tiny_dataset.param_scaler, n_realizations=3, batch_size=4,
+        device_inverse=False)
+    np.testing.assert_array_equal(pred_host, ref)
+    np.testing.assert_array_equal(mask, mask_host)
 
 
 def test_ensemble_cache_not_id_keyed(tiny_dataset):
