@@ -1,0 +1,288 @@
+"""Full-scale CLI journey: the README-promised workflow, end to end, at
+the reference grid — generate-design -> simulate (fake PFLOTRAN) ->
+gather-data -> train -> calibrate --commit -> sample (zero-flag) ->
+metrics -> physics closure -> plot, each stage through the REAL
+`ertdiff` argv surface, with wall-clock per stage.
+
+Reference workflow being realized: the aspirational CLI of README.md:20-28
+plus the script's own stages (design Generate_ERT_utils.py:484-520; run
+:327-476; ingest ERT_Conditional_Diffusion.py:453-517; train :282-365;
+posterior UQ :1036-1086; metrics CSV :1270-1276; ensemble figures
+:766-1034).
+
+The external physics binary is a FAKE PFLOTRAN (no PFLOTRAN in this
+environment): a standalone numpy stub, generated below, that
+  * parses the 29-parameter splice back OUT of the .in file the
+    PflotranSimulator wrote (so the journey also end-to-end-validates
+    the input writer: any mis-spliced parameter corrupts the learned
+    forward map and shows up in the UQ metrics),
+  * computes a deterministic low-rank smooth response (the same family
+    as benchmarks/parity_500ep.make_dataset: 8-dim linear bottleneck ->
+    sinusoid basis over the 4693 grid -> 14 survey channels + seeded
+    noise) from a sidecar operator.npz,
+  * writes 14 reference-format .srv files (259 header lines, value in
+    column 5, day-stamped filenames).
+Parameter 28 (2nd water conductivity) never enters the .in — exactly as
+in the reference's splicer (Generate_ERT_utils.py:245-325) — so the
+operator's basis row 28 is zeroed: it is UNIDENTIFIABLE by construction
+and its posterior must stay prior-wide.
+
+Usage (stages 1-4 + 8-9 are CPU; 5-7 need the TPU):
+  python benchmarks/cli_journey.py all            # everything, in order
+  python benchmarks/cli_journey.py cpu            # stages 1-4 only
+  python benchmarks/cli_journey.py tpu            # stages 5-9 (after cpu)
+
+Scratch under .journey_work/ (gitignored, ~20 GB of .srv text);
+artifacts land in docs/results/cli_journey/.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+WORK = REPO / ".journey_work"
+OUT = REPO / "docs" / "results" / "cli_journey"
+N, P, L, C = 5076, 29, 4693, 14
+SEED = 7
+
+STUB = r'''#!/usr/bin/env python
+"""Fake PFLOTRAN: .in -> 14 reference-format .srv files (see cli_journey)."""
+import sys
+from pathlib import Path
+
+import numpy as np
+
+KEY_SLOTS = {  # keyword -> parameter slot per occurrence index
+    "POROSITY": (0, 6, 12), "PERM_X": (1, 7, 13),
+    "ARCHIE_CEMENTATION_EXPONENT": (3, 9, 15),
+    "ARCHIE_SATURATION_EXPONENT": (4, 10, 16),
+    "ARCHIE_TORTUOSITY_CONSTANT": (5, 11, 17),
+    "SURFACE_ELECTRICAL_CONDUCTIVITY": (24, 25, 26),
+    "ALPHA": (18, 21), "M": (19, 19, 22, 22),
+    "LIQUID_RESIDUAL_SATURATION": (20, 20, 23, 23),
+    "WATER_CONDUCTIVITY": (27,), "PERM_Z": (None, None, None),
+}
+
+
+def main() -> int:
+    inp = Path(sys.argv[sys.argv.index("-pflotranin") + 1])
+    op = np.load(Path(__file__).with_name("operator.npz"))
+    lo, hi, logm = op["lo"], op["hi"], op["log_mask"].astype(bool)
+    basis, waves, chan = op["basis"], op["waves"], op["chan"]
+
+    p = np.full(29, np.nan)
+    seen = {k: 0 for k in KEY_SLOTS}
+    perm_z = []
+    for ln in inp.read_text().splitlines():
+        toks = ln.split()
+        if not toks or toks[0] not in KEY_SLOTS:
+            continue
+        kw = toks[0]
+        i = seen[kw]
+        seen[kw] += 1
+        if kw == "PERM_Z":
+            perm_z.append(float(toks[1]))
+            continue
+        slots = KEY_SLOTS[kw]
+        if i < len(slots):
+            p[slots[i]] = float(toks[1])
+    for m, pz in enumerate(perm_z[:3]):            # ratio = PERM_Z / PERM_X
+        p[2 + 6 * m] = pz / p[1 + 6 * m]
+    p[28] = np.sqrt(lo[28] * hi[28]) if logm[28] else 0.5 * (lo[28] + hi[28])
+    if np.isnan(p).any():
+        raise SystemExit(f"unparsed parameter slots: {np.where(np.isnan(p))}")
+
+    # unit-scale (log10 for log-distributed params), center, respond
+    x = np.where(logm, np.log10(np.where(logm, p, 1.0)), p)
+    llo = np.where(logm, np.log10(lo), lo)
+    lhi = np.where(logm, np.log10(hi), hi)
+    z = (x - llo) / (lhi - llo) - 0.5                     # (29,)
+    sig = (waves @ (basis.T @ z)).reshape(-1, 1) * chan   # (L, C)
+    idx = int(inp.stem.rsplit("_", 1)[-1])
+    rng = np.random.default_rng(10_000 + idx)
+    resp = 50.0 + 10.0 * sig + 0.2 * rng.standard_normal(sig.shape)
+
+    header = "".join(f"# header {i}\n" for i in range(259))
+    rows = range(1, resp.shape[0] + 1)
+    for s in range(resp.shape[1]):
+        out = inp.with_name(f"{inp.stem}-E1-{10 * (s + 1)}d.srv")
+        col = resp[:, s].tolist()
+        with open(out, "w") as f:
+            f.write(header)
+            f.write("".join(f"{i} 0 0 0 0 {v:.6e}\n"
+                            for i, v in zip(rows, col)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
+'''
+
+
+def write_stub_and_operator() -> Path:
+    """The stub binary + the sidecar forward operator it loads."""
+    from ertdx.params import ParameterSpace
+
+    WORK.mkdir(exist_ok=True)
+    space = ParameterSpace()
+    rng = np.random.default_rng(SEED)
+    basis = rng.normal(size=(P, 8)).astype(np.float64)
+    basis[28] = 0.0                       # p28 never reaches the .in file
+    tgrid = np.linspace(0, 1, L)
+    waves = np.stack([np.sin((i + 1) * np.pi * tgrid + rng.uniform(0, 3))
+                      for i in range(8)], axis=1)            # (L, 8)
+    chan = rng.normal(size=(1, C)) / np.sqrt(8)
+    np.savez(WORK / "operator.npz", basis=basis, waves=waves, chan=chan,
+             lo=space.lo, hi=space.hi,
+             log_mask=space.log_mask.astype(np.int8))
+    stub = WORK / "fake_pflotran.py"
+    stub.write_text(STUB)
+    stub.chmod(0o755)
+    return stub
+
+
+def cli(argv, tag, record, tpu=False):
+    """One `ertdiff` stage as a REAL subprocess; wall-clock recorded."""
+    pre = ("import jax; jax.config.update('jax_platforms','cpu'); "
+           if not tpu else "")
+    cmd = [sys.executable, "-c",
+           f"{pre}import sys; from ertdx.cli import main; "
+           "sys.exit(main(sys.argv[1:]))"] + argv
+    print(f"--- {tag}: ertdiff {' '.join(argv[:6])} ...", flush=True)
+    t0 = time.perf_counter()
+    r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    dt = time.perf_counter() - t0
+    record[tag] = {"argv": argv, "seconds": round(dt, 1),
+                   "rc": r.returncode}
+    print(r.stdout[-2000:], flush=True)
+    if r.returncode != 0:
+        print(r.stderr[-4000:], flush=True)
+        raise SystemExit(f"stage {tag} failed (rc={r.returncode})")
+    return r.stdout
+
+
+def cpu_stages(record: dict) -> None:
+    stub = write_stub_and_operator()
+    tpl = REPO / "tests" / "fixtures" / "pflotran_template.in"
+    cli(["generate-design", "--n", str(N), "--method", "sobol",
+         "--seed", str(SEED), "--out", str(WORK / "design.npy")],
+        "1_generate_design", record)
+    cli(["simulate", "--template", str(tpl),
+         "--params", str(WORK / "design.npy"),
+         "--pflotran", str(stub), "--no-mpi", "--mode", "keywords",
+         "--results-dir", str(WORK / "results"),
+         "--workdir", str(WORK / "runs"),
+         "--surveys", str(C), "--measurements", str(L),
+         "--concurrency", "2", "--max-retries", "2",
+         "--timeout", "300"],
+        "2_simulate", record)
+    record["2_simulate"]["sims_per_sec"] = round(
+        N / record["2_simulate"]["seconds"], 2)
+    cli(["gather-data", "--results-dir", str(WORK / "results"),
+         "--n", str(N), "--surveys", str(C),
+         "--out-ert", str(WORK / "ert.npy"),
+         "--out-params", str(WORK / "p.npy")],
+        "3_gather_data", record)
+    # scratch hygiene: the 71k-file .srv tree served its purpose
+    shutil.rmtree(WORK / "runs", ignore_errors=True)
+
+
+def tpu_stages(record: dict) -> None:
+    ck = WORK / "ckpt"
+    cli(["train", "--params", str(WORK / "p.npy"),
+         "--ert", str(WORK / "ert.npy"), "--preset", "full_conditional",
+         "--checkpoint-dir", str(ck), "--plot"],
+        "4_train", record, tpu=True)
+    cli(["calibrate", "--params", str(WORK / "p.npy"),
+         "--ert", str(WORK / "ert.npy"), "--checkpoint-dir", str(ck),
+         "--preset", "full_conditional", "--temps", "1.0,1.25,1.5,2.0",
+         "--sampler", "dpmpp", "--steps", "15", "--realizations", "50",
+         "--out", str(OUT / "calibration.json"), "--commit"],
+        "5_calibrate_commit", record, tpu=True)
+    # zero sampling flags: the committed calibration IS the deployment
+    cli(["sample", "--params", str(WORK / "p.npy"),
+         "--ert", str(WORK / "ert.npy"), "--checkpoint-dir", str(ck),
+         "--preset", "full_conditional", "--realizations", "50",
+         "--out", str(WORK / "Uncertainty_params.npy")],
+        "6_sample_zero_flag", record, tpu=True)
+    cli(["metrics", "--pred", str(WORK / "Uncertainty_params.npy"),
+         "--true", str(WORK / "true_params.npy"),
+         "--out", str(OUT / "Parameter_uncertainty_metrics.csv"),
+         "--plots-dir", str(WORK / "coverage_figs")],
+        "7_metrics", record)
+    shutil.copy(WORK / "coverage_figs" / "coverage_joint.png",
+                OUT / "coverage_joint.png")
+
+    # ---- physics closure: posterior draws for ONE test condition pushed
+    # back through the forward model, then the reference's ensemble
+    # figures vs the observed conditional (:766-1034) ----
+    pred = np.load(WORK / "Uncertainty_params.npy")     # (R, N_test, P)
+    np.save(WORK / "closure_params.npy", pred[:, 0, :])
+    tpl = REPO / "tests" / "fixtures" / "pflotran_template.in"
+    cli(["simulate", "--template", str(tpl),
+         "--params", str(WORK / "closure_params.npy"),
+         "--pflotran", str(WORK / "fake_pflotran.py"), "--no-mpi",
+         "--mode", "keywords",
+         "--results-dir", str(WORK / "closure_results"),
+         "--workdir", str(WORK / "closure_runs"),
+         "--surveys", str(C), "--measurements", str(L),
+         "--concurrency", "2", "--max-retries", "2", "--timeout", "300"],
+        "8_simulate_posterior", record)
+    cli(["gather-data", "--results-dir", str(WORK / "closure_results"),
+         "--n", str(pred.shape[0]), "--surveys", str(C),
+         "--out-ert", str(WORK / "closure_ert.npy"),
+         "--out-params", str(WORK / "closure_p.npy")],
+        "9_gather_posterior", record)
+    # the observed conditional for test condition 0 = its simulated ERT
+    sim = np.load(WORK / "closure_ert.npy")             # (R, L, C)
+    test_cond0 = _test_condition0()
+    np.save(WORK / "cond0.npy", test_cond0)
+    cli(["plot", "--sim", str(WORK / "closure_ert.npy"),
+         "--conditional", str(WORK / "cond0.npy"),
+         "--out-dir", str(OUT / "figures")],
+        "10_plot", record)
+    record["closure"] = {
+        "n_draws": int(sim.shape[0]),
+        "wsse_note": "figures/wsse.png ranks the posterior draws by the "
+                     "reference WSSE metric vs the observed conditional"}
+    shutil.rmtree(WORK / "closure_runs", ignore_errors=True)
+
+
+def _test_condition0() -> np.ndarray:
+    """The raw ERT of the first test-split condition (what `ertdiff
+    sample` conditioned on), reproduced with the same split seed."""
+    from ertdx import data as data_lib
+    ert = np.load(WORK / "ert.npy", mmap_mode="r")
+    _, _, test_idx = data_lib.split_dataset(N, 42, (0.8, 0.1))
+    return np.asarray(ert[test_idx[0]])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("leg", choices=["all", "cpu", "tpu"])
+    args = ap.parse_args()
+    OUT.mkdir(parents=True, exist_ok=True)
+    stages_path = OUT / "stages.json"
+    record = (json.loads(stages_path.read_text())
+              if stages_path.exists() else {})
+    if args.leg in ("all", "cpu"):
+        cpu_stages(record)
+        stages_path.write_text(json.dumps(record, indent=2))
+    if args.leg in ("all", "tpu"):
+        tpu_stages(record)
+        stages_path.write_text(json.dumps(record, indent=2))
+    print(json.dumps({k: v.get("seconds") for k, v in record.items()
+                      if isinstance(v, dict)}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
