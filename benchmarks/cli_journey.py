@@ -48,6 +48,7 @@ from pathlib import Path
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 WORK = REPO / ".journey_work"
 OUT = REPO / "docs" / "results" / "cli_journey"
 N, P, L, C = 5076, 29, 4693, 14
@@ -128,7 +129,12 @@ if __name__ == "__main__":
 
 
 def write_stub_and_operator() -> Path:
-    """The stub binary + the sidecar forward operator it loads."""
+    """The stub binary + the sidecar forward operator it loads.
+
+    Prefers the compiled csrc/fake_pflotran.c (~25 ms/run — the external
+    physics code is a compiled binary in reality too); the pure-Python
+    stub is the fallback (~0.7 s/run: interpreter+numpy startup per sim
+    dominates on this 1-core host)."""
     from ertdx.params import ParameterSpace
 
     WORK.mkdir(exist_ok=True)
@@ -143,6 +149,20 @@ def write_stub_and_operator() -> Path:
     np.savez(WORK / "operator.npz", basis=basis, waves=waves, chan=chan,
              lo=space.lo, hi=space.hi,
              log_mask=space.log_mask.astype(np.int8))
+    # binary sidecar for the C stub (layout in csrc/fake_pflotran.c)
+    with open(WORK / "operator.bin", "wb") as f:
+        np.asarray([L, C, 8, P], np.int64).tofile(f)
+        for a in (space.lo, space.hi, space.log_mask.astype(np.float64),
+                  basis, waves, chan.ravel()):
+            np.ascontiguousarray(a, np.float64).tofile(f)
+    cbin = WORK / "fake_pflotran"
+    r = subprocess.run(["cc", "-O2", "-o", str(cbin),
+                        str(REPO / "csrc" / "fake_pflotran.c"), "-lm"],
+                       capture_output=True, text=True)
+    if r.returncode == 0:
+        return cbin
+    print(f"cc failed ({r.stderr[-300:]}); using the Python stub",
+          flush=True)
     stub = WORK / "fake_pflotran.py"
     stub.write_text(STUB)
     stub.chmod(0o755)
@@ -227,9 +247,10 @@ def tpu_stages(record: dict) -> None:
     pred = np.load(WORK / "Uncertainty_params.npy")     # (R, N_test, P)
     np.save(WORK / "closure_params.npy", pred[:, 0, :])
     tpl = REPO / "tests" / "fixtures" / "pflotran_template.in"
+    stub = write_stub_and_operator()     # idempotent (same SEED)
     cli(["simulate", "--template", str(tpl),
          "--params", str(WORK / "closure_params.npy"),
-         "--pflotran", str(WORK / "fake_pflotran.py"), "--no-mpi",
+         "--pflotran", str(stub), "--no-mpi",
          "--mode", "keywords",
          "--results-dir", str(WORK / "closure_results"),
          "--workdir", str(WORK / "closure_runs"),
