@@ -240,6 +240,13 @@ def calibrate_guidance(model, params, val_conditions: np.ndarray,
             g, temp = float(g), float(temp)
             run_cfg = dataclasses.replace(base, temperature=temp,
                                           guidance_scale=g)
+            if g == 1.0:
+                # g=1 is pure conditional sampling — a guidance interval
+                # has nothing to schedule (the sampler rejects the
+                # combination), so a grid that includes 1.0 under a fixed
+                # interval drops the interval for that arm
+                run_cfg = dataclasses.replace(
+                    run_cfg, guidance_interval=(0.0, 1.0))
             records[f"g{g}_T{temp}"] = _run_arm(
                 model, params, val_conditions, val_true, schedule, key,
                 param_scaler, run_cfg, n_realizations, batch_size, a, b,

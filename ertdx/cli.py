@@ -383,6 +383,11 @@ def cmd_calibrate(args) -> int:
         if getattr(args, "guidance_grid", None):
             winning = dataclasses.replace(scfg, temperature=best_t,
                                           guidance_scale=best_g)
+            if best_g == 1.0:
+                # unguided winner: an interval would be rejected at
+                # restore ("nothing to schedule") — mirror the sweep
+                winning = dataclasses.replace(
+                    winning, guidance_interval=(0.0, 1.0))
         else:
             winning = dataclasses.replace(
                 scfg, temperature=(tuple(best_out)

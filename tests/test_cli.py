@@ -253,20 +253,24 @@ def test_cfg_train_calibrate_guidance_grid(tmp_path):
         assert set(cal["records"]) == {f"g{g}_T{t}" for g in (0.5, 1.0)
                                        for t in (1.0, 2.0)}
 
-        # commit the joint (guidance, temperature) pick; zero-flag sample
-        # deploys the calibrated GUIDED posterior
+        # commit the joint (guidance, temperature) pick — calibrated
+        # under LIMITED-INTERVAL CFG (guidance only at t in [0.25, 1)T,
+        # the null pass lax.cond-skipped outside); zero-flag sample then
+        # deploys the calibrated guided+interval posterior
         rc = main(["calibrate", "--params", str(p_path), "--ert",
                    str(e_path), "--checkpoint-dir", str(ck),
                    "--preset", "tiny_cfg_test", "--temps",
                    str(cal["best_temperature"]), "--guidance-grid",
-                   str(cal["best_guidance"]), "--sampler", "dpmpp",
-                   "--steps", "4", "--realizations", "3", "--commit"])
+                   "0.5", "--sampler", "dpmpp",
+                   "--steps", "4", "--guidance-interval", "0.25,1.0",
+                   "--realizations", "3", "--commit"])
         assert rc == 0
         meta = json.loads((ck / "best" / "meta.json").read_text())
-        assert meta["config"]["sample"]["guidance_scale"] == \
-            cal["best_guidance"]
+        assert meta["config"]["sample"]["guidance_scale"] == 0.5
         assert meta["config"]["sample"]["temperature"] == \
             cal["best_temperature"]
+        assert tuple(meta["config"]["sample"]["guidance_interval"]) == \
+            (0.25, 1.0)
         out_zero = tmp_path / "pred_zero.npy"
         rc = main(["sample", "--params", str(p_path), "--ert", str(e_path),
                    "--checkpoint-dir", str(ck), "--preset", "tiny_cfg_test",
@@ -285,10 +289,11 @@ def test_cfg_train_calibrate_guidance_grid(tmp_path):
         out = tmp_path / "pred_g.npy"
         rc = main(["sample", "--params", str(p_path), "--ert", str(e_path),
                    "--checkpoint-dir", str(ck), "--preset", "tiny_cfg_test",
-                   "--realizations", "3", "--guidance",
-                   str(cal["best_guidance"]), "--temperature",
+                   "--realizations", "3", "--guidance", "0.5",
+                   "--temperature",
                    str(cal["best_temperature"]), "--sampler", "dpmpp",
-                   "--steps", "4", "--out", str(out)])
+                   "--steps", "4", "--guidance-interval", "0.25,1.0",
+                   "--out", str(out)])
         assert rc == 0
         assert np.isfinite(np.load(out)).all()
         np.testing.assert_array_equal(np.load(out_zero), np.load(out))

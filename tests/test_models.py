@@ -101,6 +101,7 @@ def _randomize_zero_heads(params, key):
     return jax.tree_util.tree_unflatten(treedef, new)
 
 
+@pytest.mark.slow
 def test_time_actually_conditions():
     model, variables, _ = _init("condunet")
     params = _randomize_zero_heads(variables["params"], jax.random.key(9))
@@ -121,6 +122,7 @@ def test_refmlp_torch_init_statistics():
     assert np.abs(w).max() > 0.8 * bound  # actually fills the range
 
 
+@pytest.mark.slow
 def test_condunet_grad_flows():
     model, variables, (x, t, cond) = _init("condunet")
 

@@ -396,6 +396,7 @@ def test_mega_plan_gates():
     (7, 10, 1, 64),      # single-tile path, single block
     (29, 8, 4, 32),      # flagship token count, minimum 8-tile chunk
 ])
+@pytest.mark.slow
 def test_mega_denoise_odd_shapes(p, n_real, num_blocks, d):
     """Interpret-mode parity across awkward (P, R, depth, D) combos —
     guards the one-hot relayouts, tile masks, and kv padding against

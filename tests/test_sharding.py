@@ -115,6 +115,7 @@ def test_sharded_sampler_equals_single_device(tiny_dataset):
     np.testing.assert_allclose(p_single, p_mesh, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_train_loop_on_mesh(tiny_dataset):
     cfg = configs.ExperimentConfig(
         diffusion=configs.DiffusionConfig(T=10),
@@ -152,6 +153,7 @@ def test_full_train_loop_on_mesh(tiny_dataset):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_sharded_train_step_equals_single_device(tiny_dataset):
     """DP+TP (data=4, model=2): column-sharded wide kernels + sharded batch
     must reproduce single-device numerics (GSPMD inserts the collectives)."""
@@ -190,6 +192,7 @@ def test_tp_sharded_train_step_equals_single_device(tiny_dataset):
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_driver_contract():
     """The driver calls __graft_entry__.dryrun_multichip(n) on a host with
     ONE real chip and a sitecustomize that pins a non-CPU platform. The
@@ -213,6 +216,7 @@ def test_dryrun_multichip_driver_contract():
     assert "dryrun_multichip(4)" in out.stdout and "OK" in out.stdout
 
 
+@pytest.mark.slow
 def test_sharded_mega_denoise_matches_unsharded():
     """mega_denoise_ensemble_sharded (shard_map over 'data', interpreter
     kernels) == the unsharded fused path == the flax path."""
@@ -278,6 +282,7 @@ def test_mega_plan_mesh_gate():
         mega_mod.jax.default_backend = orig
 
 
+@pytest.mark.slow
 def test_distill_on_mesh_matches_single_device(tiny_dataset, tmp_path):
     """Progressive distillation over a DP mesh (scanned slabs carry the
     batch sharding; student grads all-reduced by GSPMD) reproduces the

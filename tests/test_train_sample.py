@@ -267,6 +267,7 @@ def test_temperature_is_traced_not_compiled(tiny_dataset):
     assert hot.std() > cold.std()
 
 
+@pytest.mark.slow
 def test_bf16_compute_dtype_train_and_sample(tiny_dataset):
     """ModelConfig.dtype="bfloat16" (the measured big-batch throughput
     option, docs/results/train_mfu/README.md §3b): flax convention keeps
@@ -298,6 +299,7 @@ def test_bf16_compute_dtype_train_and_sample(tiny_dataset):
     assert np.isfinite(np.asarray(draws)).all()
 
 
+@pytest.mark.slow
 def test_classifier_free_guidance(tiny_dataset, tmp_path):
     """CFG: uncond_prob > 0 adds learned null-context params, training
     runs on every path, guided sampling changes the output monotonically
@@ -476,6 +478,7 @@ def test_posterior_over_dataset_mixture(tiny_dataset):
                                        tiny_dataset.param_scaler)
 
 
+@pytest.mark.slow
 def test_guidance_interval_scheduling(tiny_dataset, tmp_path):
     """Limited-interval CFG: (0,1) is exactly the classic guided program,
     an interval that excludes every step reduces to the unguided chain,
