@@ -2,6 +2,7 @@ import dataclasses
 
 import jax
 import numpy as np
+import pytest
 
 from ertdx import configs, data as data_lib
 from ertdx.calibrate import calibrate_temperature
@@ -22,6 +23,7 @@ def _cfg():
     )
 
 
+@pytest.mark.slow
 def test_calibrate_temperature_picks_argmax(tiny_dataset):
     cfg = _cfg()
     res = train(cfg, tiny_dataset)

@@ -61,6 +61,7 @@ def _teacher_cfg(tmp_path, parameterization="v", epochs=6):
     )
 
 
+@pytest.mark.slow
 def test_distill_end_to_end_v_teacher(tiny_dataset, tmp_path):
     """v teacher -> 2-step student: stage structure, finite decreasing
     losses, echo-complete student checkpoint that restores and samples
@@ -110,6 +111,7 @@ def test_distill_end_to_end_v_teacher(tiny_dataset, tmp_path):
     assert np.isfinite(np.asarray(u)).all() and np.asarray(u).std() > 0
 
 
+@pytest.mark.slow
 def test_distill_eps_teacher_gets_conversion_stage(tiny_dataset, tmp_path):
     """An eps teacher runs the same-grid conversion stage first; the
     converted student must approximately REPRODUCE the teacher's map
@@ -145,6 +147,7 @@ def test_distill_eps_teacher_gets_conversion_stage(tiny_dataset, tmp_path):
     assert err < 0.5 * spread, (err, spread)
 
 
+@pytest.mark.slow
 def test_distill_student_beats_undistilled_few_step(tiny_dataset, tmp_path):
     """The point of distillation: at the target step count, the distilled
     student's pd-chain must track the teacher's FULL-chain output
@@ -211,6 +214,7 @@ def test_sample_pd_matches_student_grid(tiny_dataset, tmp_path):
     assert seen == want
 
 
+@pytest.mark.slow
 def test_guided_distillation_bakes_cfg(tiny_dataset, tmp_path):
     """Guided distillation (arXiv:2210.03142): the conversion stage with
     guidance g must produce a student whose UNGUIDED samples match the
@@ -286,6 +290,7 @@ def test_guided_distillation_requires_cfg_teacher(tiny_dataset, tmp_path):
                 tiny_dataset, teacher_dir=cfg.train.checkpoint_dir)
 
 
+@pytest.mark.slow
 def test_distill_adopts_teacher_echo(tiny_dataset, tmp_path):
     """A PLAIN default cfg must work: the teacher checkpoint's echo wins
     for arch (hidden_dim), schedule (T, betas), CFG dropout, and seed —
@@ -321,6 +326,7 @@ def test_distill_adopts_teacher_echo(tiny_dataset, tmp_path):
     assert np.isfinite(res.stages[-1].val_losses).all()
 
 
+@pytest.mark.slow
 def test_distill_start_steps_clamps_to_halvable_grid(tiny_dataset,
                                                      tmp_path):
     """start_steps > T clamps to the LARGEST target*2**k <= T (a plain

@@ -138,6 +138,7 @@ def test_condunet_grad_flows():
     assert np.isfinite(total) and total > 0
 
 
+@pytest.mark.slow
 def test_condunet_denoise_ensemble_equals_tiled_denoise():
     """Folded ensemble denoising (condition-major, K/V never tiled) must be
     EXACTLY the same function as per-chain denoising with a condition-major
@@ -164,6 +165,7 @@ def test_condunet_denoise_ensemble_equals_tiled_denoise():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_posterior_ensemble_condition_major_grouping():
     """posterior_ensemble's (R, B, P) output must keep realization r of
     condition b tied to condition b (layout regression for the

@@ -361,11 +361,13 @@ def _mega_parity(n_real, expect_tile8):
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_mega_denoise_matches_flax_tile8():
     """8-chain-tile self-attention path (R divisible by 8)."""
     _mega_parity(16, expect_tile8=True)
 
 
+@pytest.mark.slow
 def test_mega_denoise_matches_flax_single_tile():
     """Whole-chunk tile path (R=10: the reference's R=50 family)."""
     _mega_parity(10, expect_tile8=False)

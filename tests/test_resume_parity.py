@@ -43,6 +43,7 @@ def test_resume_without_checkpoint_starts_fresh(tmp_path, tiny_dataset):
     assert len(res.train_history) == 2
 
 
+@pytest.mark.slow
 def test_multi_epoch_dispatch_matches_per_epoch(tiny_dataset):
     """epochs_per_dispatch=K is a pure batching change: identical
     train/val histories to the per-epoch device-resident path."""
@@ -62,6 +63,7 @@ def test_multi_epoch_dispatch_matches_per_epoch(tiny_dataset):
     np.testing.assert_allclose(r1.val_history, r2.val_history, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_multi_epoch_dispatch_best_checkpoint_exact(tmp_path,
                                                     tiny_dataset):
     """K>1 best-val checkpointing is EXACT at epoch granularity: the
@@ -207,6 +209,7 @@ def test_torch_statistical_parity():
     assert ours[-1] < ours[0] and losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_flat_optimizer_identical_training(tmp_path, tiny_dataset):
     """flat_optimizer=True (Adam over one flattened vector) is a pure
     compilation-shape change: identical loss histories and best-val

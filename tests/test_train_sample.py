@@ -48,6 +48,7 @@ def test_train_reproducible(tiny_dataset):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_train_seed_changes_result(tiny_dataset):
     r1 = train(_cfg(num_epochs=1, seed=1), tiny_dataset)
     r2 = train(_cfg(num_epochs=1, seed=2), tiny_dataset)
@@ -382,6 +383,7 @@ def test_truncate_steps_rejected_for_non_ancestral(tiny_dataset):
                            truncate_steps=5)
 
 
+@pytest.mark.slow
 def test_log_every_zero_disables_logging(tiny_dataset, tmp_path):
     """log_every=0 follows the '0 = off' convention instead of dividing
     by zero (both dispatch paths)."""
@@ -412,6 +414,7 @@ def test_sample_seed_does_not_move_the_split(tiny_dataset, tmp_path):
     assert _split_seed(args, got) == 42        # split seed: train-time
 
 
+@pytest.mark.slow
 def test_split_seed_decouples_split(tiny_dataset, tmp_path):
     """TrainConfig.split_seed pins the data split independently of the
     training seed: the helper resolves it, train() uses it (moving it
@@ -438,6 +441,7 @@ def test_split_seed_decouples_split(tiny_dataset, tmp_path):
     assert _split_seed(SimpleNamespace(), cfg) == 7
 
 
+@pytest.mark.slow
 def test_posterior_over_dataset_mixture(tiny_dataset):
     """Deep-ensemble mixture: realization budget splits across members,
     K=1 reduces exactly to the single-model driver (folded key), and

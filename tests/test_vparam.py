@@ -105,6 +105,7 @@ def test_train_v_model_loss_decreases(tiny_dataset):
     assert np.isfinite(res.val_history).all()
 
 
+@pytest.mark.slow
 def test_posterior_ensemble_v_model_matches_manual_conversion(tiny_dataset):
     """The sampler-path adapter: posterior_ensemble on a v-model must
     equal a hand-built run that converts v -> eps and drives sample_ddim
