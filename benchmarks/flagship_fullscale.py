@@ -52,7 +52,8 @@ UQ_BATCH = 100        # 100 x 50 = 5,000 chains/batch: fused-core engages
 
 def run(model_name: str, seed: int, epochs: int = EPOCHS,
         dtype: str = "float32", lr_schedule: str = "constant",
-        warmup_steps: int = 0, uncond_prob: float = 0.0) -> dict:
+        warmup_steps: int = 0, uncond_prob: float = 0.0,
+        heads: int | None = None) -> dict:
     import jax
 
     from ertdx import configs, data as data_lib
@@ -68,15 +69,19 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
         tag = f"{tag}-{lr_schedule}"
     if uncond_prob > 0.0:
         tag = f"{tag}-cfg"
+    if heads is not None:
+        tag = f"{tag}-h{heads}"
     rdir = OUT / f"{tag}_s{seed}"
     rdir.mkdir(parents=True, exist_ok=True)
     ds, forward = make_dataset(return_forward=True)
 
     cfg = configs.ExperimentConfig(
         diffusion=configs.DiffusionConfig(T=T),
-        model=dataclasses.replace(configs.ModelConfig(), name=model_name,
-                                  cond_length=L, cond_channels=C,
-                                  dtype=dtype, uncond_prob=uncond_prob),
+        model=dataclasses.replace(
+            configs.ModelConfig(), name=model_name,
+            cond_length=L, cond_channels=C, dtype=dtype,
+            uncond_prob=uncond_prob,
+            **({} if heads is None else {"num_heads": heads})),
         train=dataclasses.replace(
             configs.TrainConfig(), num_epochs=epochs, batch_size=BATCH,
             lr=LR, seed=seed, checkpoint_dir=str(rdir / "ckpt"),
@@ -245,6 +250,9 @@ def main():
     ap.add_argument("--warmup-steps", type=int, default=0)
     ap.add_argument("--uncond-prob", type=float, default=0.0,
                     help="classifier-free-guidance condition dropout")
+    ap.add_argument("--heads", type=int, default=None,
+                    help="encoder attention heads override (levers.json "
+                         "A/B: heads=2 -> dh=128, no lane padding)")
     args = ap.parse_args()
     OUT.mkdir(parents=True, exist_ok=True)
     if args.leg == "report":
@@ -252,7 +260,7 @@ def main():
         return
     run(args.model, args.seed, args.epochs, args.dtype,
         lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
-        uncond_prob=args.uncond_prob)
+        uncond_prob=args.uncond_prob, heads=args.heads)
 
 
 if __name__ == "__main__":
