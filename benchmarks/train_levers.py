@@ -60,7 +60,8 @@ def fwd_and_vjp_times(apply_fn, params, x, n_iter):
     return max(median(d_fwd), 1e-9), max(median(d_tot), 1e-9)
 
 
-def train_step_us(num_heads: int, batch: int, n_iter: int) -> float:
+def train_step_us(num_heads: int, batch: int, n_iter: int,
+                  dtype: str = "float32") -> float:
     """Whole-step anchor at the reference grid with the given encoder
     head count (same protocol as train_roofline.py's anchor)."""
     from ertdx.configs import DiffusionConfig, ModelConfig
@@ -70,7 +71,7 @@ def train_step_us(num_heads: int, batch: int, n_iter: int) -> float:
 
     L0, C0, P = 4693, 14, 29
     mcfg = ModelConfig(name="condunet", cond_length=L0, cond_channels=C0,
-                       num_heads=num_heads)
+                       num_heads=num_heads, dtype=dtype)
     model = build_model(mcfg)
     sch = get_diffusion_schedule(DiffusionConfig().T)
     state = create_train_state(model, jax.random.key(0), 1e-4,
@@ -105,10 +106,27 @@ def main() -> int:
 
     # --steps-only: re-run just the whole-step A/B (now incl. heads=1)
     # and merge into an existing levers.json — the segment table stands.
+    # --bf16-steps: the same whole-step heads A/B under the b256
+    # throughput preset's compute dtype (bf16), b256 only — the landing
+    # spot for any heads change is V5E8_DP, which is bf16.
     steps_only = "--steps-only" in sys.argv
+    bf16_steps = "--bf16-steps" in sys.argv
     out: dict = {}
-    if steps_only and (OUT / "levers.json").exists():
+    if (steps_only or bf16_steps) and (OUT / "levers.json").exists():
         out = json.loads((OUT / "levers.json").read_text())
+    if bf16_steps:
+        rec = out.get("b256", {})
+        for heads in (4, 2, 1):
+            rec[f"train_step_us_heads{heads}_bf16"] = train_step_us(
+                heads, 256, 64, dtype="bfloat16")
+            print(json.dumps({f"b256:step_heads{heads}_bf16":
+                              rec[f"train_step_us_heads{heads}_bf16"]}),
+                  flush=True)
+        out["b256"] = rec
+        OUT.mkdir(parents=True, exist_ok=True)
+        (OUT / "levers.json").write_text(json.dumps(out, indent=2))
+        print(f"wrote {OUT / 'levers.json'}")
+        return 0
     for B in (32, 256):
         n_iter = 256 if B <= 64 else 64
         rec: dict = out.get(f"b{B}", {}) if steps_only else {}

@@ -380,7 +380,11 @@ def posterior_over_dataset(model, params, conditions: np.ndarray,
     bs = min(batch_size, n)
     outs = []
     for bi, s in enumerate(range(0, n, bs)):
-        cond = conditions[s:s + bs]
+        # skip no-op device slices: over this environment's tunnel every
+        # dispatched op is a real RPC (~tens of ms — docs/results/
+        # uq_floor.json), so the one-batch terminal workload must not pay
+        # for identity slicing
+        cond = conditions if bs == n else conditions[s:s + bs]
         r = cond.shape[0]
         if r < bs:
             pad = jnp.broadcast_to(cond[-1:], (bs - r,) + cond.shape[1:])
@@ -389,7 +393,8 @@ def posterior_over_dataset(model, params, conditions: np.ndarray,
         outs.append(posterior_ensemble(model, params, cond, schedule, bkey,
                                        n_realizations, scfg, mesh=mesh))
     u_all = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
-    u_all = u_all[:, :n]
+    if u_all.shape[1] != n:
+        u_all = u_all[:, :n]
     if device_inverse and isinstance(param_scaler, transforms.MinMaxScaler):
         phys, mask = _device_inverse(u_all, param_scaler,
                                      jnp.asarray(space.plims), a, b)
