@@ -63,6 +63,12 @@ class ModelConfig:
     ensemble_mega_accurate: bool = False  # in-kernel bf16_3x matmuls
                                           # (above XLA's own accuracy;
                                           # 3x MXU cost)
+    attn_flash_min_logits: int = 0  # batch-aware encoder flash-attention
+                                    # gate: engage the Pallas kernel when
+                                    # the XLA path would materialize
+                                    # b*h*lp^2 logit elements (>= this)
+                                    # even below the length gate; 0 = off
+                                    # (A/B: benchmarks/train_attn.py)
     dtype: str = "float32"         # condunet compute dtype ("bfloat16"
                                    # for MXU-native training; params f32)
     uncond_prob: float = 0.0       # classifier-free guidance: train-time

@@ -38,6 +38,7 @@ def build_model(cfg: ModelConfig):
                         ensemble_min_chains=cfg.ensemble_min_chains,
                         ensemble_mega=cfg.ensemble_mega,
                         ensemble_mega_accurate=cfg.ensemble_mega_accurate,
+                        flash_min_logits=cfg.attn_flash_min_logits,
                         dtype=jnp.dtype(cfg.dtype),
                         uncond_prob=cfg.uncond_prob,
                         parameterization=cfg.parameterization)

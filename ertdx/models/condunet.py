@@ -120,6 +120,12 @@ class SelfAttention1D(nn.Module):
     num_heads: int
     use_pallas: bool = True
     pallas_min_len: int = 1024
+    # batch-aware flash gate: engage the Pallas kernel when the XLA
+    # path's materialized logit tensor b*h*lp^2 reaches this element
+    # count even at short lp (the roofline showed the b256 train step's
+    # biggest measured->implied gap was this segment's ~270 MB of
+    # logits+probs HBM traffic). 0 disables the batch gate.
+    flash_min_logits: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -135,7 +141,10 @@ class SelfAttention1D(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         lp = _pad_len(l)
-        pallas_ok = self.use_pallas and lp >= self.pallas_min_len
+        pallas_ok = self.use_pallas and (
+            lp >= self.pallas_min_len
+            or (self.flash_min_logits > 0
+                and b * self.num_heads * lp * lp >= self.flash_min_logits))
         if pallas_ok and lp != l:
             # pad ONLY for the Pallas kernel: the XLA fallback (the
             # default encoder path at l < pallas_min_len) runs on the
@@ -180,6 +189,8 @@ class ConditionEncoder(nn.Module):
     # affected blocks (FusedGNConv vs GNSiLU+Conv) — checkpoints are
     # layout-compatible only within one setting.
     pallas_conv_min_width: int = 0
+    flash_min_logits: int = 0    # batch-aware flash-attention gate
+                                 # (see SelfAttention1D)
     dtype: Any = jnp.float32
 
     def _conv_fused(self, width: int) -> bool:
@@ -206,6 +217,7 @@ class ConditionEncoder(nn.Module):
                            pallas_conv=self._conv_fused(w),
                            dtype=self.dtype)(h)
         h = SelfAttention1D(self.num_heads, self.use_pallas,
+                            flash_min_logits=self.flash_min_logits,
                             dtype=self.dtype)(h)
         h = ResBlock1D(h.shape[-1], use_pallas=self.pallas_gn,
                        pallas_conv=self._conv_fused(h.shape[-1]),
@@ -358,6 +370,10 @@ class CondUNet(nn.Module):
                                  # ertdx.sample._ensemble_fn, not here)
     ensemble_mega_accurate: bool = False  # bf16_3x in-kernel matmuls
                                           # (3x MXU; ops/core_block._dot)
+    flash_min_logits: int = 0    # batch-aware encoder flash-attention
+                                 # gate (SelfAttention1D): engage Pallas
+                                 # when b*h*lp^2 reaches this count even
+                                 # at short lp; 0 = length gate only
     dtype: Any = jnp.float32     # compute dtype (params stay f32);
                                  # jnp.bfloat16 for MXU-native training
     uncond_prob: float = 0.0     # classifier-free guidance: train-time
@@ -379,6 +395,7 @@ class CondUNet(nn.Module):
             use_pallas=self.use_pallas, pallas_gn=self.pallas_gn,
             pallas_conv=self.pallas_conv,
             pallas_conv_min_width=self.pallas_conv_min_width,
+            flash_min_logits=self.flash_min_logits,
             dtype=self.dtype)
         self.lift = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.pos_emb = self.param(

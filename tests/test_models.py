@@ -250,3 +250,48 @@ def test_condunet_fused_ensemble_path_matches_xla(monkeypatch):
                             method=fused.denoise_ensemble)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_attn_flash_gate_pad_mask_parity():
+    """The batch-aware flash gate (ModelConfig.attn_flash_min_logits)
+    must not change the attention VALUES — the gate only swaps the
+    schedule. With the gate on, SelfAttention1D pads L 147->256 and
+    masks the pad keys; on CPU flash_attention falls back to XLA on the
+    padded+masked operands, so equality here pins exactly the pad/mask/
+    slice plumbing the TPU kernel path rides."""
+    from ertdx.models.condunet import SelfAttention1D
+
+    x = jax.random.normal(jax.random.key(0), (3, 147, 256))
+    off = SelfAttention1D(4, flash_min_logits=0)
+    on = SelfAttention1D(4, flash_min_logits=1)
+    params = off.init(jax.random.key(1), x)["params"]
+    y_off = off.apply({"params": params}, x)
+    y_on = on.apply({"params": params}, x)  # same param tree either way
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                               rtol=1e-5, atol=1e-5)
+    # gate must stay off below the logit threshold
+    tiny = SelfAttention1D(4, flash_min_logits=3 * 4 * 256 * 256 + 1)
+    y_tiny = tiny.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y_tiny), np.asarray(y_off),
+                               rtol=1e-7, atol=1e-7)
+
+
+def test_flash_kernel_parity_encoder_train_shape():
+    """Interpreter-mode kernel run at the exact encoder train shape the
+    gate targets (H=4, L=147 padded to 256, dh=64): the Pallas program
+    the TPU executes == XLA attention on the unpadded operands."""
+    from ertdx.ops.attention import (flash_attention_interpret,
+                                     reference_attention)
+
+    b, h, l, lp, d = 2, 4, 147, 256, 64
+    kq, kk, kv = jax.random.split(jax.random.key(2), 3)
+    q = jax.random.normal(kq, (b, h, l, d))
+    k = jax.random.normal(kk, (b, h, l, d))
+    v = jax.random.normal(kv, (b, h, l, d))
+    pad = ((0, 0), (0, 0), (0, lp - l), (0, 0))
+    mask = jnp.pad(jnp.ones((b, l)), ((0, 0), (0, lp - l)))
+    out = flash_attention_interpret(jnp.pad(q, pad), jnp.pad(k, pad),
+                                    jnp.pad(v, pad), mask)[:, :, :l, :]
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
