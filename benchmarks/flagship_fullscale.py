@@ -53,7 +53,8 @@ UQ_BATCH = 100        # 100 x 50 = 5,000 chains/batch: fused-core engages
 def run(model_name: str, seed: int, epochs: int = EPOCHS,
         dtype: str = "float32", lr_schedule: str = "constant",
         warmup_steps: int = 0, uncond_prob: float = 0.0,
-        heads: int | None = None) -> dict:
+        heads: int | None = None,
+        loss_weighting: str = "none", snr_gamma: float = 5.0) -> dict:
     import jax
 
     from ertdx import configs, data as data_lib
@@ -71,6 +72,8 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
         tag = f"{tag}-cfg"
     if heads is not None:
         tag = f"{tag}-h{heads}"
+    if loss_weighting != "none":
+        tag = f"{tag}-{loss_weighting.replace('_', '')}{snr_gamma:g}"
     rdir = OUT / f"{tag}_s{seed}"
     rdir.mkdir(parents=True, exist_ok=True)
     ds, forward = make_dataset(return_forward=True)
@@ -87,6 +90,7 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
             lr=LR, seed=seed, checkpoint_dir=str(rdir / "ckpt"),
             log_every=100, deterministic_val=False,
             lr_schedule=lr_schedule, warmup_steps=warmup_steps,
+            loss_weighting=loss_weighting, snr_gamma=snr_gamma,
             epochs_per_dispatch=10))
 
     t0 = time.perf_counter()
@@ -253,6 +257,10 @@ def main():
     ap.add_argument("--heads", type=int, default=None,
                     help="encoder attention heads override (levers.json "
                          "A/B: heads=2 -> dh=128, no lane padding)")
+    ap.add_argument("--loss-weighting", default="none",
+                    choices=["none", "min_snr"],
+                    help="train-loss timestep weighting (min-SNR-gamma)")
+    ap.add_argument("--snr-gamma", type=float, default=5.0)
     args = ap.parse_args()
     OUT.mkdir(parents=True, exist_ok=True)
     if args.leg == "report":
@@ -260,7 +268,8 @@ def main():
         return
     run(args.model, args.seed, args.epochs, args.dtype,
         lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
-        uncond_prob=args.uncond_prob, heads=args.heads)
+        uncond_prob=args.uncond_prob, heads=args.heads,
+        loss_weighting=args.loss_weighting, snr_gamma=args.snr_gamma)
 
 
 if __name__ == "__main__":

@@ -50,6 +50,10 @@ def _load_cfg(args, adopt_checkpoint: bool = False
         overrides["lr_schedule"] = args.lr_schedule
     if getattr(args, "warmup_steps", None) is not None:
         overrides["warmup_steps"] = args.warmup_steps
+    if getattr(args, "loss_weighting", None):
+        overrides["loss_weighting"] = args.loss_weighting
+    if getattr(args, "snr_gamma", None) is not None:
+        overrides["snr_gamma"] = args.snr_gamma
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))
@@ -591,6 +595,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="constant = reference semantics; cosine = "
                         "warmup + cosine decay over the step budget")
     t.add_argument("--warmup-steps", type=int, default=None)
+    t.add_argument("--loss-weighting", choices=["none", "min_snr"],
+                   default=None,
+                   help="train-loss timestep weighting (min-SNR-gamma, "
+                        "arXiv:2303.09556); val loss stays unweighted")
+    t.add_argument("--snr-gamma", type=float, default=None,
+                   help="gamma clamp for --loss-weighting min_snr")
     t.add_argument("--uncond-prob", type=float, default=None,
                    help="classifier-free-guidance condition dropout "
                         "(enables `sample --guidance`)")

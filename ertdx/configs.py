@@ -132,6 +132,14 @@ class TrainConfig:
     lr_schedule: str = "constant"
     warmup_steps: int = 0
     lr_end_fraction: float = 0.0
+    # TRAIN-loss timestep weighting: "none" is the reference's unweighted
+    # eps-MSE (bitwise-identical program); "min_snr" applies the
+    # min-SNR-gamma per-example weight (diffusion.min_snr_weight,
+    # arXiv:2303.09556) to the train loss ONLY — the val loss stays
+    # unweighted so best-val selection remains comparable across
+    # weightings (and to the reference's selection rule)
+    loss_weighting: str = "none"
+    snr_gamma: float = 5.0
     log_every: int = 1
 
 

@@ -118,6 +118,32 @@ def prediction_target(x0: jax.Array, noise: jax.Array, t: jax.Array,
                      "(expected 'eps' or 'v')")
 
 
+def min_snr_weight(t: jax.Array, alpha_bar: jax.Array,
+                   parameterization: str, gamma: float) -> jax.Array:
+    """Per-example min-SNR-gamma loss weight (Hang et al. 2023,
+    arXiv:2303.09556).
+
+    SNR(t) = abar_t / (1 - abar_t). The eps-MSE objective implicitly
+    weights the underlying x0 error by SNR, so low-t (high-SNR) examples
+    dominate training; clamping at gamma rebalances toward the noisy
+    timesteps the posterior samplers actually traverse. In the loss's
+    own output space the multiplier is min(SNR, gamma)/SNR for an
+    eps-model and min(SNR, gamma)/(SNR+1) for a v-model (the paper's
+    Sec. 4 conversion). No reference analogue (the reference trains
+    unweighted eps-MSE, ERT_Conditional_Diffusion.py:295,316); opt-in
+    via TrainConfig.loss_weighting="min_snr".
+
+    t: (B,) int; returns (B,) f32 weights.
+    """
+    snr = alpha_bar[t] / (1.0 - alpha_bar[t])
+    if parameterization == "eps":
+        return jnp.minimum(snr, gamma) / snr
+    if parameterization == "v":
+        return jnp.minimum(snr, gamma) / (snr + 1.0)
+    raise ValueError(f"unknown parameterization {parameterization!r} "
+                     "(expected 'eps' or 'v')")
+
+
 def as_eps_denoiser(model_fn: DenoiseFn, alpha_bar: jax.Array,
                     parameterization: str) -> DenoiseFn:
     """Adapt a raw model-output closure to the samplers' eps contract.

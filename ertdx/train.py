@@ -35,7 +35,7 @@ from . import configs as configs_lib
 from . import data as data_lib
 from .configs import ExperimentConfig
 from .diffusion import (DiffusionSchedule, get_diffusion_schedule,
-                        prediction_target, q_sample)
+                        min_snr_weight, prediction_target, q_sample)
 from .models import build_model
 from .parallel.mesh import batch_sharding, replicated
 from .utils import checkpoint as ckpt_lib
@@ -142,7 +142,9 @@ def _make_eps_fn(apply_fn: Callable, uncond_prob: float):
 
 
 def _make_batch_update(eps_fn: Callable, T: int, ema_decay: float,
-                       parameterization: str = "eps"):
+                       parameterization: str = "eps",
+                       loss_weighting: str = "none",
+                       snr_gamma: float = 5.0):
     """THE one train-step body (t/noise draw, q_sample, eps-MSE,
     apply_gradients, EMA) shared by all three dispatch paths — the
     bitwise cross-path parity the module advertises depends on there
@@ -164,9 +166,22 @@ def _make_batch_update(eps_fn: Callable, T: int, ema_decay: float,
 
         def loss_fn(params):
             eps_hat = eps_fn(params, x_noisy, t, cond, key)
+            if loss_weighting == "none":
+                # reference objective, kept byte-identical (the bitwise
+                # cross-path/resume parity pins this exact program)
+                if w is None:
+                    return jnp.mean((eps_hat - target) ** 2)
+                return weighted_eps_mse(eps_hat, target, w)
+            if loss_weighting != "min_snr":
+                raise ValueError(
+                    f"unknown loss_weighting {loss_weighting!r} "
+                    "(expected 'none' or 'min_snr')")
+            per_ex = jnp.mean((eps_hat - target) ** 2, axis=-1)
+            per_ex = per_ex * min_snr_weight(t, alpha_bar,
+                                             parameterization, snr_gamma)
             if w is None:
-                return jnp.mean((eps_hat - target) ** 2)
-            return weighted_eps_mse(eps_hat, target, w)
+                return jnp.mean(per_ex)
+            return jnp.sum(per_ex * w) / jnp.maximum(jnp.sum(w), 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads=grads)
@@ -179,13 +194,15 @@ def _make_batch_update(eps_fn: Callable, T: int, ema_decay: float,
 def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
                     donate: bool = True, ema_decay: float = 0.0,
                     uncond_prob: float = 0.0,
-                    parameterization: str = "eps"):
+                    parameterization: str = "eps",
+                    loss_weighting: str = "none", snr_gamma: float = 5.0):
     # schedule arrays are passed as jit ARGUMENTS, not closure constants —
     # never close over device data in jitted bodies (docs/DESIGN.md §5b),
     # and argument-passing keeps one program across schedule values
     T = schedule.num_steps
     eps_fn = _make_eps_fn(apply_fn, uncond_prob)
-    _step = _make_batch_update(eps_fn, T, ema_decay, parameterization)
+    _step = _make_batch_update(eps_fn, T, ema_decay, parameterization,
+                               loss_weighting, snr_gamma)
 
     jitted = jax.jit(_step, donate_argnums=(0,) if donate else ())
 
@@ -198,7 +215,8 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
 def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
                     donate: bool = True, ema_decay: float = 0.0,
                     batch_shard=None, uncond_prob: float = 0.0,
-                    parameterization: str = "eps"):
+                    parameterization: str = "eps",
+                    loss_weighting: str = "none", snr_gamma: float = 5.0):
     """Whole-epoch train step: one dispatch, lax.scan over batches.
 
     The per-step model is tiny (SURVEY.md §6), so per-dispatch latency
@@ -231,7 +249,8 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
             x0_b = jax.lax.with_sharding_constraint(x0_b, batch_shard)
             cond_b = jax.lax.with_sharding_constraint(cond_b, batch_shard)
 
-        update = _make_batch_update(eps_fn, T, ema_decay, parameterization)
+        update = _make_batch_update(eps_fn, T, ema_decay, parameterization,
+                                    loss_weighting, snr_gamma)
 
         def body(carry, inp):
             state, = carry
@@ -256,7 +275,8 @@ def make_epoch_step(apply_fn: Callable, schedule: DiffusionSchedule,
 def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
                    donate: bool = True, ema_decay: float = 0.0,
                    uncond_prob: float = 0.0, batch_shard=None,
-                   parameterization: str = "eps"):
+                   parameterization: str = "eps",
+                   loss_weighting: str = "none", snr_gamma: float = 5.0):
     """Multi-epoch train+val in ONE dispatch: scan(epochs) of scan(batches).
 
     Removes per-dispatch host latency entirely for E epochs at a time
@@ -281,7 +301,8 @@ def make_train_run(apply_fn: Callable, schedule: DiffusionSchedule,
     def _run(state, x0_tr, cond_tr, batch_idx, epoch_keys,
              x0_va, cond_va, val_idx, val_w, val_keys, best_val_in,
              alpha_bar):
-        update = _make_batch_update(eps_fn, T, ema_decay, parameterization)
+        update = _make_batch_update(eps_fn, T, ema_decay, parameterization,
+                                    loss_weighting, snr_gamma)
 
         def batch_body(state, inp):
             x0, cond, k = inp
@@ -511,7 +532,8 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
         epoch_step = make_epoch_step(
             model.apply, schedule, ema_decay=tcfg.ema_decay,
             batch_shard=batch_shard, uncond_prob=cfg.model.uncond_prob,
-            parameterization=cfg.model.parameterization)
+            parameterization=cfg.model.parameterization,
+            loss_weighting=tcfg.loss_weighting, snr_gamma=tcfg.snr_gamma)
         eval_epoch = make_eval_epoch(
             model.apply, schedule,
             parameterization=cfg.model.parameterization)
@@ -534,7 +556,8 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
         train_step = make_train_step(
             model.apply, schedule, ema_decay=tcfg.ema_decay,
             uncond_prob=cfg.model.uncond_prob,
-            parameterization=cfg.model.parameterization)
+            parameterization=cfg.model.parameterization,
+            loss_weighting=tcfg.loss_weighting, snr_gamma=tcfg.snr_gamma)
         eval_step = make_eval_step(
             model.apply, schedule,
             parameterization=cfg.model.parameterization)
@@ -572,7 +595,9 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
                                 ema_decay=tcfg.ema_decay,
                                 uncond_prob=cfg.model.uncond_prob,
                                 batch_shard=batch_shard,
-                                parameterization=cfg.model.parameterization)
+                                parameterization=cfg.model.parameterization,
+                                loss_weighting=tcfg.loss_weighting,
+                                snr_gamma=tcfg.snr_gamma)
         epoch = start_epoch
         while epoch < tcfg.num_epochs:
             k_now = min(K, tcfg.num_epochs - epoch)

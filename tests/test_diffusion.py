@@ -373,3 +373,30 @@ def test_posterior_ensemble_rejects_bad_temperature_shape():
     with pytest.raises(ValueError, match="length-29"):
         posterior_ensemble(model, None, None, None, None,
                            scfg=SampleConfig(temperature=(1.0, 2.0)))
+
+
+def test_min_snr_weight_formula():
+    """min-SNR-gamma weights vs the hand formula (arXiv:2303.09556):
+    eps -> min(SNR,g)/SNR, v -> min(SNR,g)/(SNR+1)."""
+    from ertdx.diffusion import min_snr_weight
+
+    sch = get_diffusion_schedule(10)
+    t = jnp.arange(10, dtype=jnp.int32)
+    ab = np.asarray(sch.alpha_bar)
+    snr = ab / (1.0 - ab)
+    gamma = 5.0
+
+    w_eps = np.asarray(min_snr_weight(t, sch.alpha_bar, "eps", gamma))
+    np.testing.assert_allclose(w_eps, np.minimum(snr, gamma) / snr,
+                               rtol=1e-6)
+    # clamps only the high-SNR (low-t) side; unweighted where SNR <= g
+    assert (w_eps <= 1.0 + 1e-6).all()
+    np.testing.assert_allclose(w_eps[snr <= gamma], 1.0, rtol=1e-6)
+    assert (w_eps[snr > gamma] < 1.0).all()
+
+    w_v = np.asarray(min_snr_weight(t, sch.alpha_bar, "v", gamma))
+    np.testing.assert_allclose(w_v, np.minimum(snr, gamma) / (snr + 1.0),
+                               rtol=1e-6)
+
+    with pytest.raises(ValueError, match="parameterization"):
+        min_snr_weight(t, sch.alpha_bar, "x0", gamma)

@@ -525,3 +525,31 @@ def test_guidance_interval_scheduling(tiny_dataset, tmp_path):
         draw(1.0, (0.5, 1.0))
     with pytest.raises(ValueError, match="0 <= lo < hi <= 1"):
         draw(2.0, (0.9, 0.2))
+
+
+def test_min_snr_training_paths_and_effect(tiny_dataset):
+    """min-SNR weighting: (a) trains finitely and changes the train
+    history vs unweighted (same seed), (b) stays bitwise-identical
+    between the per-epoch and multi-epoch dispatch paths (the weighting
+    lives inside the one shared batch-update body), (c) leaves the val
+    history definition unweighted-comparable (finite, same length)."""
+    base = _cfg(num_epochs=2, loss_weighting="min_snr")
+    plain = _cfg(num_epochs=2)
+
+    r_w = train(base, tiny_dataset)
+    r_p = train(plain, tiny_dataset)
+    assert np.isfinite(r_w.train_history).all()
+    assert np.isfinite(r_w.val_history).all()
+    assert r_w.train_history != r_p.train_history
+
+    multi = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, epochs_per_dispatch=2))
+    r_m = train(multi, tiny_dataset)
+    assert r_m.train_history == r_w.train_history
+    assert r_m.val_history == r_w.val_history
+
+
+def test_min_snr_unknown_weighting_raises(tiny_dataset):
+    cfg = _cfg(num_epochs=1, loss_weighting="bogus")
+    with pytest.raises(ValueError, match="loss_weighting"):
+        train(cfg, tiny_dataset)
