@@ -71,6 +71,10 @@ def _load_cfg(args, adopt_checkpoint: bool = False
     if model_overrides:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, **model_overrides))
+    if getattr(args, "beta_schedule", None):
+        cfg = dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, schedule=args.beta_schedule))
     return cfg
 
 
@@ -188,7 +192,7 @@ def cmd_train(args) -> int:
 def cmd_sample(args) -> int:
     import jax
     from . import data as data_lib
-    from .diffusion import get_diffusion_schedule
+    from .diffusion import schedule_from_config
     from .models import build_model
     from .sample import posterior_over_dataset
     from .train import load_best_model
@@ -240,8 +244,7 @@ def cmd_sample(args) -> int:
     _, _, test_idx = data_lib.split_dataset(len(ds), _split_seed(args, cfg),
                                             cfg.train.split)
     model = build_model(cfg.model)
-    sch = get_diffusion_schedule(cfg.diffusion.T, cfg.diffusion.beta_start,
-                                 cfg.diffusion.beta_end)
+    sch = schedule_from_config(cfg.diffusion)
     mesh = make_mesh(data=args.mesh_data) if args.mesh_data else None
     scfg = cfg.sample
     overrides = {}
@@ -296,7 +299,7 @@ def cmd_calibrate(args) -> int:
     import jax
     from . import data as data_lib
     from .calibrate import calibrate_temperature
-    from .diffusion import get_diffusion_schedule
+    from .diffusion import schedule_from_config
     from .models import build_model
     from .train import load_best_model
     from .transforms import inverse_transform
@@ -310,8 +313,7 @@ def cmd_calibrate(args) -> int:
     _, val_idx, _ = data_lib.split_dataset(len(ds), _split_seed(args, cfg),
                                            cfg.train.split)
     model = build_model(cfg.model)
-    sch = get_diffusion_schedule(cfg.diffusion.T, cfg.diffusion.beta_start,
-                                 cfg.diffusion.beta_end)
+    sch = schedule_from_config(cfg.diffusion)
     true_phys = ds.param_scaler.inverse(
         inverse_transform(ds.params_u[val_idx].astype(np.float64),
                           ds.a, ds.b))
@@ -601,6 +603,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "arXiv:2303.09556); val loss stays unweighted")
     t.add_argument("--snr-gamma", type=float, default=None,
                    help="gamma clamp for --loss-weighting min_snr")
+    t.add_argument("--beta-schedule", choices=["linear", "cosine"],
+                   default=None,
+                   help="noising schedule: linear (reference) or "
+                        "squared-cosine alpha_bar (arXiv:2102.09672); "
+                        "travels in the checkpoint config echo")
     t.add_argument("--uncond-prob", type=float, default=None,
                    help="classifier-free-guidance condition dropout "
                         "(enables `sample --guidance`)")

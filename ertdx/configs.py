@@ -14,6 +14,11 @@ class DiffusionConfig:
     T: int = 500
     beta_start: float = 1e-4
     beta_end: float = 0.02
+    # "linear" is the reference schedule (ERT_Conditional_Diffusion.py:
+    # 90-94); "cosine" = Nichol & Dhariwal 2021 squared-cosine alpha_bar
+    # (beta_start/beta_end ignored). Travels in the checkpoint config
+    # echo like every other layout-relevant knob.
+    schedule: str = "linear"
 
 
 @dataclasses.dataclass(frozen=True)

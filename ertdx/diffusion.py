@@ -51,12 +51,46 @@ class DiffusionSchedule(NamedTuple):
 
 def get_diffusion_schedule(T: int, beta_start: float = 1e-4,
                            beta_end: float = 0.02,
-                           dtype=jnp.float32) -> DiffusionSchedule:
-    """Linear beta schedule. Reference: ERT_Conditional_Diffusion.py:90-94."""
-    betas = jnp.linspace(beta_start, beta_end, T, dtype=dtype)
+                           dtype=jnp.float32,
+                           kind: str = "linear") -> DiffusionSchedule:
+    """Noising schedule.
+
+    kind="linear" is the reference's beta schedule
+    (ERT_Conditional_Diffusion.py:90-94 — the default, program-identical).
+    kind="cosine" is the squared-cosine alpha_bar schedule of Nichol &
+    Dhariwal 2021 (arXiv:2102.09672, Eq. 17, s=0.008) with the paper's
+    0.999 beta clip; it spends more of the chain at moderate SNR (the
+    linear schedule's tail destroys nearly all signal by t ~ T/2). For
+    cosine, beta_start/beta_end are ignored (the shape is parameter-free).
+    Every sampler consumes the (betas, alphas, alpha_bar) triple
+    generically, so both kinds work with ancestral/DDIM/DPM++/pd and
+    both parameterizations unchanged.
+    """
+    if kind == "linear":
+        betas = jnp.linspace(beta_start, beta_end, T, dtype=dtype)
+    elif kind == "cosine":
+        s = 0.008
+        t = jnp.arange(T + 1, dtype=jnp.float32) / T
+        f = jnp.cos((t + s) / (1.0 + s) * (jnp.pi / 2.0)) ** 2
+        abar = f / f[0]
+        betas = jnp.clip(1.0 - abar[1:] / abar[:-1], 0.0, 0.999)
+        # recompute the cumprod from the CLIPPED betas so the triple
+        # stays self-consistent (alpha_bar == cumprod(1 - betas) is an
+        # invariant the samplers' coefficient algebra relies on)
+        betas = betas.astype(dtype)
+    else:
+        raise ValueError(f"unknown schedule kind {kind!r} "
+                         "(expected 'linear' or 'cosine')")
     alphas = 1.0 - betas
     alpha_bar = jnp.cumprod(alphas, axis=0)
     return DiffusionSchedule(betas, alphas, alpha_bar)
+
+
+def schedule_from_config(dcfg) -> DiffusionSchedule:
+    """Build the schedule a DiffusionConfig describes (single source of
+    truth for the kind/beta plumbing at every construction site)."""
+    return get_diffusion_schedule(dcfg.T, dcfg.beta_start, dcfg.beta_end,
+                                  kind=getattr(dcfg, "schedule", "linear"))
 
 
 def q_sample(x0: jax.Array, t: jax.Array, noise: jax.Array,

@@ -54,7 +54,7 @@ import optax
 
 from . import data as data_lib
 from .configs import ExperimentConfig
-from .diffusion import get_diffusion_schedule, pd_grid
+from .diffusion import pd_grid, schedule_from_config
 from .models import build_model
 from .train import (TrainState, _epoch_batches, _save, create_train_state,
                     load_best_model)
@@ -396,8 +396,7 @@ def distill(cfg: ExperimentConfig, dcfg: DistillConfig,
     if saved:
         cfg = configs_lib.experiment_from_dict(saved, base=cfg)
     T = cfg.diffusion.T
-    schedule = get_diffusion_schedule(T, cfg.diffusion.beta_start,
-                                      cfg.diffusion.beta_end)
+    schedule = schedule_from_config(cfg.diffusion)
     if dcfg.target_steps > T:
         raise ValueError(f"target_steps {dcfg.target_steps} > teacher "
                          f"schedule T {T}")

@@ -29,7 +29,7 @@ import numpy as np
 
 from . import data as data_lib
 from .configs import ExperimentConfig, SampleConfig
-from .diffusion import get_diffusion_schedule
+from .diffusion import schedule_from_config
 from .models import build_model
 from .params import ParameterSpace
 from .sample import _device_inverse, posterior_ensemble
@@ -124,9 +124,7 @@ class PosteriorService:
         self.param_scaler = param_scaler
         self.ert_scaler = ert_scaler
         self.model = build_model(cfg.model)
-        self.schedule = get_diffusion_schedule(
-            cfg.diffusion.T, cfg.diffusion.beta_start,
-            cfg.diffusion.beta_end)
+        self.schedule = schedule_from_config(cfg.diffusion)
         self.space = ParameterSpace()
         self._lock = threading.Lock()  # jit cache + device arrays
 

@@ -34,8 +34,8 @@ from flax.training import train_state
 from . import configs as configs_lib
 from . import data as data_lib
 from .configs import ExperimentConfig
-from .diffusion import (DiffusionSchedule, get_diffusion_schedule,
-                        min_snr_weight, prediction_target, q_sample)
+from .diffusion import (DiffusionSchedule, min_snr_weight,
+                        prediction_target, q_sample, schedule_from_config)
 from .models import build_model
 from .parallel.mesh import batch_sharding, replicated
 from .utils import checkpoint as ckpt_lib
@@ -495,9 +495,7 @@ def train(cfg: ExperimentConfig, dataset: data_lib.ERTDataset,
         n, configs_lib.split_seed_of(tcfg), tcfg.split)
 
     model = build_model(cfg.model)
-    schedule = get_diffusion_schedule(cfg.diffusion.T,
-                                      cfg.diffusion.beta_start,
-                                      cfg.diffusion.beta_end)
+    schedule = schedule_from_config(cfg.diffusion)
     root_key = jax.random.key(tcfg.seed)
     init_key, train_key, val_key = jax.random.split(root_key, 3)
 

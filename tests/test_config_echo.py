@@ -117,3 +117,28 @@ def test_cli_ema_on_non_ema_checkpoint_exits_cleanly(tiny_dataset,
               "--checkpoint-dir", cfg.train.checkpoint_dir, "--ema",
               "--realizations", "2",
               "--out", str(tmp_path / "u.npy")])
+
+
+def test_cosine_schedule_travels_in_echo(tmp_path, tiny_dataset):
+    """A cosine-schedule checkpoint restores flag-free: the diffusion
+    section of the config echo carries schedule='cosine' and
+    experiment_from_dict adopts it into the restore config."""
+    import dataclasses
+
+    from ertdx import configs
+    from ertdx.train import saved_config, train
+
+    cfg = configs.ExperimentConfig(
+        diffusion=configs.DiffusionConfig(T=10, schedule="cosine"),
+        model=dataclasses.replace(configs.ModelConfig(), cond_length=96,
+                                  cond_channels=4),
+        train=dataclasses.replace(configs.TrainConfig(), num_epochs=2,
+                                  batch_size=16, log_every=100,
+                                  checkpoint_dir=str(tmp_path / "ck")))
+    train(cfg, tiny_dataset)
+    saved = saved_config(str(tmp_path / "ck"))
+    assert saved["diffusion"]["schedule"] == "cosine"
+    restored = configs.experiment_from_dict(
+        saved, base=configs.ExperimentConfig())
+    assert restored.diffusion.schedule == "cosine"
+    assert restored.diffusion.T == 10

@@ -400,3 +400,53 @@ def test_min_snr_weight_formula():
 
     with pytest.raises(ValueError, match="parameterization"):
         min_snr_weight(t, sch.alpha_bar, "x0", gamma)
+
+
+def test_cosine_schedule_closed_form():
+    """Cosine alpha_bar matches Nichol & Dhariwal Eq. 17 (f(t)/f(0),
+    s=0.008) wherever the 0.999 beta clip is inactive; the triple stays
+    self-consistent (alpha_bar == cumprod(1-betas)) even where it clips."""
+    T = 50
+    sch = get_diffusion_schedule(T, kind="cosine")
+    s = 0.008
+    tt = np.arange(T + 1) / T
+    f = np.cos((tt + s) / (1 + s) * np.pi / 2) ** 2
+    abar_cf = f[1:] / f[0]
+    betas_cf = 1.0 - f[1:] / f[:-1]
+    unclipped = betas_cf < 0.999
+    np.testing.assert_allclose(np.asarray(sch.alpha_bar)[unclipped],
+                               abar_cf[unclipped], rtol=2e-5)
+    b = np.asarray(sch.betas)
+    assert (b > 0).all() and (b <= 0.999 + 1e-7).all()
+    ab = np.asarray(sch.alpha_bar)
+    assert (np.diff(ab) < 0).all() and ab[0] < 1.0 and ab[-1] > 0.0
+    np.testing.assert_allclose(ab, np.cumprod(1.0 - b), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="schedule kind"):
+        get_diffusion_schedule(T, kind="quadratic")
+
+
+def test_cosine_schedule_samplers_and_config_plumbing():
+    """Every sampler family runs on a cosine schedule (the triple is
+    consumed generically), and schedule_from_config builds the kind the
+    DiffusionConfig names."""
+    from ertdx.configs import DiffusionConfig
+    from ertdx.diffusion import schedule_from_config
+
+    sch = schedule_from_config(DiffusionConfig(T=20, schedule="cosine"))
+    np.testing.assert_allclose(
+        np.asarray(sch.betas),
+        np.asarray(get_diffusion_schedule(20, kind="cosine").betas))
+    lin = schedule_from_config(DiffusionConfig(T=20))
+    np.testing.assert_allclose(
+        np.asarray(lin.betas), np.asarray(get_diffusion_schedule(20).betas))
+
+    def zero_fn(x, t):
+        return jnp.zeros_like(x)
+
+    key = jax.random.key(0)
+    for fn, kw in [(sample_ancestral, {}), (sample_ddim, dict(num_steps=5)),
+                   (sample_dpmpp_2m, dict(num_steps=5)),
+                   (sample_pd, dict(num_steps=4))]:
+        x = fn(zero_fn, key, (8, 3), sch, **kw)
+        assert np.isfinite(np.asarray(x)).all(), fn.__name__
