@@ -287,3 +287,36 @@ def per_parameter_uq(pred: np.ndarray, true: np.ndarray, names=None,
                      "Precision": sc["precision"],
                      "Goodness": sc["goodness"]})
     return rows
+
+
+def crps_ensemble(pred: np.ndarray, true: np.ndarray,
+                  fair: bool = True) -> np.ndarray:
+    """Continuous ranked probability score of an ensemble forecast
+    (Gneiting & Raftery 2007): CRPS = E|X - y| - 0.5 E|X - X'|.
+
+    A PROPER score: minimized only by the true predictive distribution,
+    so unlike coverage accuracy (reference metric, ERT_Conditional_
+    Diffusion.py:1089-1137) it penalizes over-dispersion and
+    under-dispersion symmetrically and stays informative when coverage
+    saturates at 0 or 1 — the regime the tempering calibration sweeps
+    operate in. No reference analogue.
+
+    pred: (R, ...) ensemble draws; true: (...) matching observation
+    shape. Returns CRPS per observation cell (...), lower is better.
+    fair=True uses the unbiased R(R-1) estimator of E|X - X'| (Ferro
+    2014 "fair CRPS" — an exchangeable-member estimate of the
+    infinite-ensemble score); fair=False the classic /R^2 plug-in.
+    O(R log R) per cell via the sorted-spread identity
+    sum_{i<j}(x_(j) - x_(i)) = sum_i (2i - R + 1) x_(i), 0-indexed.
+    """
+    pred = np.asarray(pred, np.float64)
+    true = np.asarray(true, np.float64)
+    R = pred.shape[0]
+    if R < 2:
+        raise ValueError(f"need >= 2 ensemble members, got {R}")
+    mae = np.mean(np.abs(pred - true[None]), axis=0)
+    xs = np.sort(pred, axis=0)
+    coef = (2.0 * np.arange(R) - R + 1.0).reshape((R,) + (1,) * true.ndim)
+    pair_sum = 2.0 * np.sum(coef * xs, axis=0)   # sum_{i,j} |x_i - x_j|
+    denom = R * (R - 1) if fair else R * R
+    return mae - 0.5 * pair_sum / denom

@@ -157,3 +157,40 @@ def test_coverage_proportions_vectorized_matches_loop():
         expect = np.mean(((low < true) & (true <= upp)).astype(int))
         assert avg[i] == pytest.approx(expect)
     assert (np.diff(probs) > 0).all()
+
+
+def test_crps_ensemble_matches_bruteforce_and_is_proper():
+    from ertdx.metrics import crps_ensemble
+
+    rng = np.random.default_rng(0)
+    pred = rng.normal(size=(7, 5, 3))
+    true = rng.normal(size=(5, 3))
+
+    # brute-force definition per cell
+    for fair in (True, False):
+        got = crps_ensemble(pred, true, fair=fair)
+        assert got.shape == (5, 3)
+        R = pred.shape[0]
+        denom = R * (R - 1) if fair else R * R
+        for n in range(5):
+            for p in range(3):
+                x = pred[:, n, p]
+                mae = np.mean(np.abs(x - true[n, p]))
+                spread = np.abs(x[:, None] - x[None, :]).sum() / denom
+                np.testing.assert_allclose(got[n, p], mae - 0.5 * spread,
+                                           rtol=1e-12)
+
+    # propriety sanity: ensembles drawn from the true distribution score
+    # better (lower) than shifted or over-dispersed ones, on average
+    rng = np.random.default_rng(1)
+    y = rng.normal(size=(4000,))
+    good = rng.normal(size=(50, 4000))
+    shifted = good + 2.0
+    wide = rng.normal(scale=4.0, size=(50, 4000))
+    c_good = crps_ensemble(good, y).mean()
+    assert c_good < crps_ensemble(shifted, y).mean()
+    assert c_good < crps_ensemble(wide, y).mean()
+
+    import pytest
+    with pytest.raises(ValueError, match="ensemble members"):
+        crps_ensemble(good[:1], y)
