@@ -54,12 +54,13 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
         dtype: str = "float32", lr_schedule: str = "constant",
         warmup_steps: int = 0, uncond_prob: float = 0.0,
         heads: int | None = None,
-        loss_weighting: str = "none", snr_gamma: float = 5.0) -> dict:
+        loss_weighting: str = "none", snr_gamma: float = 5.0,
+        beta_schedule: str = "linear") -> dict:
     import jax
 
     from ertdx import configs, data as data_lib
-    from ertdx.diffusion import get_diffusion_schedule
-    from ertdx.metrics import (per_parameter_uq, uq_scores,
+    from ertdx.diffusion import schedule_from_config
+    from ertdx.metrics import (crps_ensemble, per_parameter_uq, uq_scores,
                                wsse_per_simulation)
     from ertdx.models import build_model
     from ertdx.sample import posterior_over_dataset
@@ -74,12 +75,14 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
         tag = f"{tag}-h{heads}"
     if loss_weighting != "none":
         tag = f"{tag}-{loss_weighting.replace('_', '')}{snr_gamma:g}"
+    if beta_schedule != "linear":
+        tag = f"{tag}-{beta_schedule}"
     rdir = OUT / f"{tag}_s{seed}"
     rdir.mkdir(parents=True, exist_ok=True)
     ds, forward = make_dataset(return_forward=True)
 
     cfg = configs.ExperimentConfig(
-        diffusion=configs.DiffusionConfig(T=T),
+        diffusion=configs.DiffusionConfig(T=T, schedule=beta_schedule),
         model=dataclasses.replace(
             configs.ModelConfig(), name=model_name,
             cond_length=L, cond_channels=C, dtype=dtype,
@@ -105,7 +108,7 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
     # ---- test-set-wide posterior UQ with the BEST checkpoint ----
     state, _, _ = load_best_model(str(rdir / "ckpt"), cfg, ds)
     model = build_model(cfg.model)
-    schedule = get_diffusion_schedule(T)
+    schedule = schedule_from_config(cfg.diffusion)
     _, _, test_idx = data_lib.split_dataset(N, seed, (0.8, 0.1))
     true_u = np.asarray(ds.params_u[test_idx])
     conds = np.asarray(ds.conditions[test_idx])
@@ -158,6 +161,12 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
         "accuracy": float(scores["accuracy"]),
         "precision": float(scores["precision"]),
         "goodness": float(scores["goodness"]),
+        # proper score (lower better) — stays informative where coverage
+        # accuracy saturates; per-param CRPS normalized by the parameter's
+        # bound width so the 29 scales average comparably
+        "crps_mean_normalized": float(
+            (crps_ensemble(pred, true_phys)
+             / (true_phys.max(0) - true_phys.min(0) + 1e-12)).mean()),
         "wsse_median_posterior": wsse_med,
         "wsse_true_params": wsse_true,
         "train": [float(x) for x in res.train_history],
@@ -261,6 +270,8 @@ def main():
                     choices=["none", "min_snr"],
                     help="train-loss timestep weighting (min-SNR-gamma)")
     ap.add_argument("--snr-gamma", type=float, default=5.0)
+    ap.add_argument("--beta-schedule", default="linear",
+                    choices=["linear", "cosine"])
     args = ap.parse_args()
     OUT.mkdir(parents=True, exist_ok=True)
     if args.leg == "report":
@@ -269,7 +280,8 @@ def main():
     run(args.model, args.seed, args.epochs, args.dtype,
         lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
         uncond_prob=args.uncond_prob, heads=args.heads,
-        loss_weighting=args.loss_weighting, snr_gamma=args.snr_gamma)
+        loss_weighting=args.loss_weighting, snr_gamma=args.snr_gamma,
+        beta_schedule=args.beta_schedule)
 
 
 if __name__ == "__main__":
