@@ -60,7 +60,8 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
 
     from ertdx import configs, data as data_lib
     from ertdx.diffusion import schedule_from_config
-    from ertdx.metrics import (crps_ensemble, per_parameter_uq, uq_scores,
+    from ertdx.metrics import (crps_ensemble, per_parameter_uq, sbc_ranks,
+                               sbc_uniformity, uq_scores,
                                wsse_per_simulation)
     from ertdx.models import build_model
     from ertdx.sample import posterior_over_dataset
@@ -167,6 +168,10 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
         "crps_mean_normalized": float(
             (crps_ensemble(pred, true_phys)
              / (true_phys.max(0) - true_phys.min(0) + 1e-12)).mean()),
+        # SBC rank-uniformity KS distance, mean over the 29 parameters
+        # (0 = calibrated posterior; arXiv:1804.06788)
+        "sbc_ks_mean": float(np.mean(sbc_uniformity(
+            sbc_ranks(pred, true_phys), N_REAL))),
         "wsse_median_posterior": wsse_med,
         "wsse_true_params": wsse_true,
         "train": [float(x) for x in res.train_history],

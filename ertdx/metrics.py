@@ -320,3 +320,43 @@ def crps_ensemble(pred: np.ndarray, true: np.ndarray,
     pair_sum = 2.0 * np.sum(coef * xs, axis=0)   # sum_{i,j} |x_i - x_j|
     denom = R * (R - 1) if fair else R * R
     return mae - 0.5 * pair_sum / denom
+
+
+def sbc_ranks(pred: np.ndarray, true: np.ndarray) -> np.ndarray:
+    """Simulation-based-calibration rank statistics (Talts et al. 2018,
+    arXiv:1804.06788): the rank of each true value among its R posterior
+    draws, in 0..R. If the sampler draws from the correct posterior, the
+    ranks are uniform over the R+1 bins — over-dispersion piles ranks
+    mid-histogram, under-dispersion/bias piles them at the edges, so the
+    histogram SHAPE diagnoses what coverage accuracy (reference metric)
+    only scores. The terminal UQ workload (true params + (R, N, P)
+    posterior ensembles per test condition) is exactly SBC's setup.
+    No reference analogue.
+
+    pred: (R, ...); true: (...). Returns int ranks shaped like true.
+    """
+    pred = np.asarray(pred)
+    true = np.asarray(true)
+    return (pred < true[None]).sum(axis=0)
+
+
+def sbc_uniformity(ranks: np.ndarray, n_draws: int) -> float:
+    """Kolmogorov-Smirnov distance of SBC ranks from the discrete uniform
+    on {0..n_draws}: D = max_k |ecdf(k) - (k+1)/(R+1)|, computed over the
+    leading axis; 0 = perfectly calibrated. ranks: (M,) or (M, P) — with
+    a parameter axis the statistic is returned per parameter, so callers
+    can `.mean()` or rank parameters by mis-calibration.
+    """
+    ranks = np.asarray(ranks)
+    squeeze = ranks.ndim == 1
+    if squeeze:
+        ranks = ranks[:, None]
+    M, P = ranks.shape
+    R1 = n_draws + 1
+    counts = np.zeros((R1, P))
+    for p in range(P):
+        counts[:, p] = np.bincount(ranks[:, p], minlength=R1)
+    ecdf = np.cumsum(counts, axis=0) / M
+    cdf = (np.arange(1, R1 + 1) / R1)[:, None]
+    d = np.abs(ecdf - cdf).max(axis=0)
+    return float(d[0]) if squeeze else d

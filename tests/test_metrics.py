@@ -194,3 +194,33 @@ def test_crps_ensemble_matches_bruteforce_and_is_proper():
     import pytest
     with pytest.raises(ValueError, match="ensemble members"):
         crps_ensemble(good[:1], y)
+
+
+def test_sbc_ranks_and_uniformity():
+    from ertdx.metrics import sbc_ranks, sbc_uniformity
+
+    # hand case: 3 draws, rank = #draws strictly below truth
+    pred = np.array([[1.0], [3.0], [5.0]])
+    assert sbc_ranks(pred, np.array([0.5]))[0] == 0
+    assert sbc_ranks(pred, np.array([4.0]))[0] == 2
+    assert sbc_ranks(pred, np.array([9.0]))[0] == 3
+
+    rng = np.random.default_rng(0)
+    R, M = 49, 3000
+    truth = rng.normal(size=(M,))
+    calibrated = rng.normal(size=(R, M))
+    under = 0.3 * rng.normal(size=(R, M))          # too sharp
+    biased = rng.normal(size=(R, M)) + 1.5
+
+    d_cal = sbc_uniformity(sbc_ranks(calibrated, truth), R)
+    d_und = sbc_uniformity(sbc_ranks(under, truth), R)
+    d_bia = sbc_uniformity(sbc_ranks(biased, truth), R)
+    assert d_cal < 0.05                       # uniform within noise
+    assert d_und > 3 * d_cal and d_bia > 3 * d_cal
+
+    # per-parameter axis: (M, P) ranks -> (P,) statistics
+    ranks2 = np.stack([sbc_ranks(calibrated, truth),
+                       sbc_ranks(under, truth)], axis=1)
+    d2 = sbc_uniformity(ranks2, R)
+    assert d2.shape == (2,)
+    np.testing.assert_allclose(d2, [d_cal, d_und])
