@@ -453,14 +453,22 @@ def cmd_distill(args) -> int:
 
 
 def cmd_metrics(args) -> int:
-    from .metrics import per_parameter_uq, uq_scores
+    from .metrics import (crps_ensemble, per_parameter_uq, sbc_ranks,
+                          sbc_uniformity, uq_scores)
     from .utils.logging import write_csv
     pred = np.load(args.pred)
     true = np.load(args.true)
     joint = uq_scores(pred, true)
-    print(json.dumps({k: float(v) for k, v in joint.items()
-                      if np.isscalar(v) or getattr(v, "ndim", 1) == 0},
-                     indent=2))
+    out = {k: float(v) for k, v in joint.items()
+           if np.isscalar(v) or getattr(v, "ndim", 1) == 0}
+    # proper-score + calibration diagnostics (beyond the reference's
+    # coverage triple): range-normalized CRPS and SBC rank uniformity
+    span = true.max(axis=0) - true.min(axis=0) + 1e-12
+    out["crps_mean_normalized"] = float(
+        (crps_ensemble(pred, true) / span).mean())
+    out["sbc_ks_mean"] = float(np.mean(sbc_uniformity(
+        sbc_ranks(pred, true), pred.shape[0])))
+    print(json.dumps(out, indent=2))
     rows = per_parameter_uq(pred, true)
     write_csv(args.out, rows)
     print(f"wrote {args.out}")
