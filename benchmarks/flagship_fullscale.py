@@ -77,7 +77,9 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
     if loss_weighting != "none":
         tag = f"{tag}-{loss_weighting.replace('_', '')}{snr_gamma:g}"
     if beta_schedule != "linear":
-        tag = f"{tag}-{beta_schedule}"
+        # "beta" prefix: a bare schedule name collides with the LR-schedule
+        # tag (condunet-cosine_s42 is the round-3 cosine-LR artifact).
+        tag = f"{tag}-beta{beta_schedule}"
     rdir = OUT / f"{tag}_s{seed}"
     rdir.mkdir(parents=True, exist_ok=True)
     ds, forward = make_dataset(return_forward=True)
