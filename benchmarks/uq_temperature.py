@@ -46,11 +46,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--model", default="condunet")
+    ap.add_argument("--tag", default=None,
+                    help="result-dir tag when it differs from the model "
+                         "name (e.g. condunet-minsnr5); also suffixes the "
+                         "output JSON")
     ap.add_argument("--temps", default="1.0,1.5,2.0,3.0")
     args = ap.parse_args()
     temps = [float(t) for t in args.temps.split(",")]
 
-    rdir = OUT / f"{args.model}_s{args.seed}"
+    tag = args.tag or args.model
+    rdir = OUT / f"{tag}_s{args.seed}"
     ds = make_dataset()
     cfg = configs.ExperimentConfig(
         diffusion=configs.DiffusionConfig(T=T),
@@ -66,7 +71,7 @@ def main() -> int:
     true_phys = np.asarray(ds.param_scaler.inverse(
         inverse_transform(np.asarray(ds.params_u[test_idx]), ds.a, ds.b)))
 
-    out = {"model": args.model, "seed": args.seed, "n_real": N_REAL,
+    out = {"model": tag, "seed": args.seed, "n_real": N_REAL,
            "n_test": int(len(test_idx)), "temps": {}}
     for temp in temps:
         scfg = configs.SampleConfig(uncertainty_samples=N_REAL,
@@ -87,7 +92,9 @@ def main() -> int:
         out["temps"][str(temp)] = rec
         print(json.dumps({f"T{temp}": rec}), flush=True)
 
-    (OUT / f"tempering_s{args.seed}.json").write_text(json.dumps(out))
+    suffix = f"_{args.tag}" if args.tag else ""
+    (OUT / f"tempering{suffix}_s{args.seed}.json").write_text(
+        json.dumps(out))
     return 0
 
 
