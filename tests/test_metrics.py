@@ -224,3 +224,40 @@ def test_sbc_ranks_and_uniformity():
     d2 = sbc_uniformity(ranks2, R)
     assert d2.shape == (2,)
     np.testing.assert_allclose(d2, [d_cal, d_und])
+
+
+def test_accuracy_cliff_vs_graded_sbc():
+    """The reference accuracy metric is a CLIFF, not a graded score.
+
+    accuracy = trapz(1[coverage(p) >= p], p) (ERT_Conditional_Diffusion.
+    py:1089-1100) scores 0.0 whenever empirical coverage sits a hair
+    BELOW nominal at every level — which a finite R-member ensemble
+    drawn from the EXACTLY correct predictive distribution does, because
+    empirical central percentiles of R draws under-cover slightly at
+    every p. SBC KS stays near 0 on the same data (ranks of an
+    exchangeable truth are uniform regardless of R). This pins why the
+    framework reports CRPS/SBC alongside the reference triple: an
+    "accuracy 0.000" posterior can be anywhere from catastrophically
+    collapsed (KS ~ 0.3) to nearly calibrated (KS < 0.1).
+    """
+    from ertdx.metrics import sbc_ranks, sbc_uniformity, uq_scores
+
+    rng = np.random.default_rng(0)
+    R, N = 50, 4000
+    mu_err = rng.normal(size=(N,))            # model's point error, sd 1
+    truth = np.zeros((N,))
+    # predictive dist per cell = N(mu_err, 1): truth exchangeable with
+    # draws -> perfectly calibrated in the SBC sense
+    calibrated = mu_err[None] + rng.normal(size=(R, N))
+    sc = uq_scores(calibrated[:, :, None], truth[:, None])
+    ks = float(np.mean(sbc_uniformity(sbc_ranks(calibrated, truth), R)))
+    assert sc["accuracy"] == 0.0              # the cliff
+    assert ks < 0.06                          # the graded truth
+
+    # a genuinely collapsed posterior is distinguishable by KS alone
+    collapsed = mu_err[None] + 0.3 * rng.normal(size=(R, N))
+    ks_col = float(np.mean(sbc_uniformity(sbc_ranks(collapsed, truth),
+                                          R)))
+    sc_col = uq_scores(collapsed[:, :, None], truth[:, None])
+    assert sc_col["accuracy"] == 0.0          # same cliff reading...
+    assert ks_col > 3 * ks                    # ...very different truth
