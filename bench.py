@@ -373,17 +373,24 @@ def _measure_uq_testset(model_name: str, n_test: int = 508,
     pd1 = SampleConfig(uncertainty_samples=n_real, sampler="pd",
                        pd_steps=1, temperature=1.5)
     out = {"uq_testset_shape": f"{n_test}x{n_real}xT{T}"}
+    # bf16 activations on the SAME f32 params: the sampling-path analogue
+    # of the train bf16 lever (quality gate: docs/results/
+    # flagship_fullscale/sample_bf16_s42.json)
+    model_bf16, _, _ = _build(model_name, dtype="bfloat16")
     # few-step students are dispatch-bound at batch 127 (4 dispatches x
     # ~40 ms tunnel round-trip): one whole-test-set dispatch measures
     # ~1.9x faster (0.17 vs 0.33 s same-chip-pass) — the deployment
     # guideline for pd students is batch_size = n_test
-    for label, bsz, scfg in (("", batch, anc), ("_1dispatch", n_test, anc),
-                             ("_ddim50", batch, ddim),
-                             ("_dpmpp15", batch, dpmpp),
-                             ("_pd4", batch, pd4), ("_pd1", batch, pd1),
-                             ("_pd1_1dispatch", n_test, pd1)):
+    for label, bsz, scfg, mdl in (
+            ("", batch, anc, model), ("_1dispatch", n_test, anc, model),
+            ("_bf16", batch, anc, model_bf16),
+            ("_ddim50", batch, ddim, model),
+            ("_ddim50_bf16", batch, ddim, model_bf16),
+            ("_dpmpp15", batch, dpmpp, model),
+            ("_pd4", batch, pd4, model), ("_pd1", batch, pd1, model),
+            ("_pd1_1dispatch", n_test, pd1, model)):
         # warm (compiles each distinct batch shape once)
-        posterior_over_dataset(model, state.params, conds[:bsz], sch,
+        posterior_over_dataset(mdl, state.params, conds[:bsz], sch,
                                jax.random.key(0), scaler,
                                n_realizations=n_real, batch_size=bsz,
                                scfg=scfg)
@@ -391,7 +398,7 @@ def _measure_uq_testset(model_name: str, n_test: int = 508,
         for i in range(2):
             t0 = time.perf_counter()
             pred, mask = posterior_over_dataset(
-                model, state.params, conds, sch, jax.random.key(1 + i),
+                mdl, state.params, conds, sch, jax.random.key(1 + i),
                 scaler, n_realizations=n_real, batch_size=bsz, scfg=scfg)
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[0]
