@@ -266,11 +266,12 @@ def _measure_train_big_batch(model_name: str, batch: int = 256,
     return out
 
 
-def _ensemble_runner(model_name: str, n_real: int, scfg):
+def _ensemble_runner(model_name: str, n_real: int, scfg,
+                     dtype: str = "float32"):
     """The cached jitted ensemble core + its concrete arguments."""
     from ertdx.sample import _ensemble_fn
 
-    model, sch, state = _build(model_name)
+    model, sch, state = _build(model_name, dtype=dtype)
     cond = jnp.asarray(
         np.random.default_rng(0).uniform(size=(REF_BATCH, REF_LEN, REF_CH)),
         jnp.float32)
@@ -333,6 +334,23 @@ def _measure_ddim_1000_ensemble(model_name: str) -> dict:
         rec["mfu_sample"] = flops / dt / peak
         rec["mfu_sample_p25"] = flops / sp["p75"] / peak
         rec["mfu_sample_p75"] = flops / sp["p25"] / peak
+    # bf16 activations, same f32 params (quality gate: docs/results/
+    # flagship_fullscale/sample_bf16_s42.json)
+    run_b, params_b, cond_b, sch_b = _ensemble_runner(
+        model_name, 1000, scfg, dtype="bfloat16")
+    out = run_b(params_b, cond_b, jax.random.key(2), sch_b)
+    _ = float(out[0, 0, 0])
+    times_b = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        out = run_b(params_b, cond_b, jax.random.key(3 + i), sch_b)
+        _ = float(out[0, 0, 0])
+        times_b.append(time.perf_counter() - t0)
+    dt_b = _spread(sorted(times_b))["median"]
+    rec["ddim50_1000member_ensemble_seconds_bf16"] = dt_b
+    rec["ddim50_1000member_chains_per_sec_bf16"] = 1000 * REF_BATCH / dt_b
+    if flops == flops and peak == peak:
+        rec["mfu_sample_bf16"] = flops / dt_b / peak
     return rec
 
 
