@@ -70,6 +70,8 @@ def main() -> int:
     conds = np.asarray(ds.conditions[test_idx])
     true_phys = np.asarray(ds.param_scaler.inverse(
         inverse_transform(np.asarray(ds.params_u[test_idx]), ds.a, ds.b)))
+    # range-normalization matches flagship_fullscale's crps convention
+    span = true_phys.max(axis=0) - true_phys.min(axis=0) + 1e-12
     spread = true_phys.std(axis=0)
 
     out = {"tag": tag, "seed": args.seed, "n_real": N_REAL,
@@ -93,8 +95,7 @@ def main() -> int:
                 "valid_fraction": float(mask.mean()),
                 "ensemble_sd_mean": float(pred.std(axis=0).mean()),
                 "crps_mean_normalized": float(
-                    (crps_ensemble(pred, true_phys)
-                     / np.maximum(spread, 1e-12)).mean()),
+                    (crps_ensemble(pred, true_phys) / span).mean()),
                 "sbc_ks_mean": float(np.mean(sbc_uniformity(
                     sbc_ranks(pred, true_phys), N_REAL))),
                 "seconds": round(dt, 1),
