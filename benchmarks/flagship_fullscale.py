@@ -55,7 +55,8 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
         warmup_steps: int = 0, uncond_prob: float = 0.0,
         heads: int | None = None,
         loss_weighting: str = "none", snr_gamma: float = 5.0,
-        beta_schedule: str = "linear") -> dict:
+        beta_schedule: str = "linear", skip_train: bool = False,
+        result_name: str = "result.json") -> dict:
     import jax
 
     from ertdx import configs, data as data_lib
@@ -99,9 +100,23 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
             loss_weighting=loss_weighting, snr_gamma=snr_gamma,
             epochs_per_dispatch=10))
 
-    t0 = time.perf_counter()
-    res = train(cfg, ds)
-    train_wall = time.perf_counter() - t0
+    if skip_train:
+        # eval-from-checkpoint leg: reuse an existing best checkpoint (the
+        # round's training code is bitwise-reproducible, so retraining an
+        # unchanged config would reproduce the same weights — skip it and
+        # recompute the UQ record, e.g. to add newer metric fields)
+        meta = json.loads((rdir / "ckpt" / "best" / "meta.json").read_text())
+        res = type("R", (), {
+            "best_val_loss": meta["best_val_loss"],
+            "best_epoch": meta["epoch"],
+            "steps_per_sec": float("nan"),
+            "train_history": meta.get("train_history", []),
+            "val_history": meta.get("val_history", [])})()
+        train_wall = 0.0
+    else:
+        t0 = time.perf_counter()
+        res = train(cfg, ds)
+        train_wall = time.perf_counter() - t0
     print(json.dumps({"model": model_name, "seed": seed,
                       "best_val": float(res.best_val_loss),
                       "best_epoch": int(res.best_epoch),
@@ -179,7 +194,7 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
         "train": [float(x) for x in res.train_history],
         "val": [float(x) for x in res.val_history],
     }
-    (rdir / "result.json").write_text(json.dumps(rec))
+    (rdir / result_name).write_text(json.dumps(rec))
     print(json.dumps({k: v for k, v in rec.items()
                       if k not in ("train", "val")}), flush=True)
     return rec
@@ -258,7 +273,7 @@ def report() -> None:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("leg", choices=["run", "report"])
+    ap.add_argument("leg", choices=["run", "eval", "report"])
     ap.add_argument("--model", default="condunet",
                     choices=["condunet", "refmlp"])
     ap.add_argument("--seed", type=int, default=42)
@@ -279,6 +294,9 @@ def main():
     ap.add_argument("--snr-gamma", type=float, default=5.0)
     ap.add_argument("--beta-schedule", default="linear",
                     choices=["linear", "cosine"])
+    ap.add_argument("--result-name", default="result.json",
+                    help="result filename inside the run dir (keep "
+                         "historical result.json files distinct)")
     args = ap.parse_args()
     OUT.mkdir(parents=True, exist_ok=True)
     if args.leg == "report":
@@ -288,7 +306,9 @@ def main():
         lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
         uncond_prob=args.uncond_prob, heads=args.heads,
         loss_weighting=args.loss_weighting, snr_gamma=args.snr_gamma,
-        beta_schedule=args.beta_schedule)
+        beta_schedule=args.beta_schedule,
+        skip_train=(args.leg == "eval"),
+        result_name=args.result_name)
 
 
 if __name__ == "__main__":

@@ -62,8 +62,8 @@ class ModelConfig:
                                    # CoreBlock as ONE Pallas kernel —
                                    # measured 2.09x on the configs[3]
                                    # ensemble (mega_ab.py); auto-gated to
-                                   # TPU + f32 + single-head core +
-                                   # >= ensemble_min_chains chains
+                                   # TPU + f32-or-bf16 + single-head core
+                                   # + >= ensemble_min_chains chains
                                    # (ops/core_block.py, models/mega.py)
     ensemble_mega_accurate: bool = False  # in-kernel bf16_3x matmuls
                                           # (above XLA's own accuracy;
@@ -287,6 +287,10 @@ DDIM_ENSEMBLE = ExperimentConfig(
 # condunet-bf16_s42). Decision rule for users: flip to bf16 whenever the
 # per-chip batch is compute-bound (>=256 here); keep f32 for small-batch
 # parity work. Params stay f32 either way (dtype is compute-only).
+# Posterior sampling under this preset uses the fused-core kernel too:
+# mega_plan accepts bf16 models (its matmuls are bf16 MXU passes in fast
+# mode regardless), so bf16-at-restore no longer silently disqualifies
+# the 2.44x sampler (VERDICT r4 item 1; quality gate sample_bf16_s42).
 V5E8_DP = ExperimentConfig(
     name="v5e8_dp",
     model=_replace(ModelConfig(), name="condunet", dtype="bfloat16"),

@@ -68,21 +68,34 @@ def mega_plan(model, n_real: int, batch: int = 1,
               mesh=None, cond_len: Optional[int] = None) -> Optional[dict]:
     """Static-gate the fused-core path; None -> use the flax/XLA path.
 
-    Requires: the flag, a TPU backend, single-head f32 core, lane-aligned
-    hidden dim, a valid chain chunking, >= MIN_TOTAL_CHAINS chains
-    PER DEVICE (below it the XLA path measures ahead), and a VMEM
+    Requires: the flag, a TPU backend, single-head f32-or-bf16 core,
+    lane-aligned hidden dim, a valid chain chunking, >= MIN_TOTAL_CHAINS
+    chains PER DEVICE (below it the XLA path measures ahead), and a VMEM
     working-set estimate inside the per-core budget (ops/core_block:
     stack_vmem_bytes / block_vmem_bytes) — oversize configs (large
     param_dim or hidden_dim) fall back to XLA instead of dying in a
     Mosaic compile error on hardware. With a mesh, the condition batch
     must divide the 'data' axis — conditions then shard via
     mega_denoise_ensemble_sharded (no collectives in the hot loop);
-    incompatible meshes fall back to the GSPMD/XLA path."""
+    incompatible meshes fall back to the GSPMD/XLA path.
+
+    bf16 models route HERE, not to the XLA fallback: the kernel's fast
+    mode already runs every matmul as one bf16 MXU pass (ops/core_block
+    _dot) — the same numeric class a bf16-activation flax model computes
+    — while the bf16 XLA ensemble path measured 2.5x SLOWER than f32
+    (BENCH_r04: 4.35 s vs 1.73 s for the DDIM-50 1000-member ensemble;
+    the lane-padded (.., 29)/(.., 147) intermediates relayout worse in
+    bf16). Only the once-per-run condition encoder runs at the model's
+    dtype; chain-side operands are cast f32 at entry (the kernel computes
+    in f32 registers with bf16 MXU passes either way), so a bf16 model's
+    posterior equals the f32 fused path up to the encoder's own rounding
+    (pinned in tests/test_ops.py)."""
     if not getattr(model, "ensemble_mega", False):
         return None
     if getattr(model, "core_heads", 0) != 1:
         return None
-    if model.dtype not in (jnp.float32, "float32", float):
+    if model.dtype not in (jnp.float32, "float32", float,
+                           jnp.bfloat16, "bfloat16"):
         return None
     if jax.default_backend() != "tpu" or model.hidden_dim % 128:
         return None
@@ -151,6 +164,13 @@ def mega_denoise_ensemble(params, x, t, cond_ctx, n_real: int, *, p: int,
     stack=False keeps one kernel per block with lift/out-norm/head in XLA
     (the fallback and A/B comparator)."""
     cond_tokens, cond_vec = cond_ctx          # (B, Lk, D), (B, D)
+    # bf16 models hand over a bf16-encoded context (and possibly bf16
+    # chains): cast the kernel-side operands to f32 ONCE here — the
+    # kernels compute in f32 registers with bf16 MXU passes regardless,
+    # and a uniform operand dtype keeps one compiled program per shape
+    cond_tokens = cond_tokens.astype(jnp.float32)
+    cond_vec = cond_vec.astype(jnp.float32)
+    x = x.astype(jnp.float32)
     bsz = cond_tokens.shape[0]
     n = x.shape[0]
     sc = _cvec_silu(params, t, cond_vec, d)

@@ -447,6 +447,70 @@ def test_mega_denoise_odd_shapes(p, n_real, num_blocks, d):
                                    rtol=3e-5, atol=3e-5)
 
 
+def test_mega_plan_accepts_bf16(monkeypatch):
+    """bf16-activation models must route to the fused-core kernel, not
+    the XLA fallback (VERDICT r4 item 1: the bf16 XLA ensemble measured
+    2.5x SLOWER than f32 while the kernel's matmuls are bf16 MXU passes
+    either way). Unknown dtypes still fall back."""
+    import jax as _jax
+    from ertdx.models.condunet import CondUNet
+    from ertdx.models import mega as mega_mod
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    kw = dict(param_dim=29, hidden_dim=128, cond_channels=4, base_width=16,
+              depth=2, num_blocks=2, num_heads=2, core_heads=1,
+              ensemble_mega=True)
+    assert mega_mod.mega_plan(
+        CondUNet(dtype=jnp.bfloat16, **kw), 1000, 32) is not None
+    assert mega_mod.mega_plan(
+        CondUNet(dtype="bfloat16", **kw), 1000, 32) is not None
+    assert mega_mod.mega_plan(
+        CondUNet(dtype=jnp.float16, **kw), 1000, 32) is None
+
+
+@pytest.mark.slow
+def test_mega_denoise_bf16_model_parity():
+    """A bf16 model's fused-core posterior step must match its own XLA
+    path inside the bf16 accumulation band: the context arrives
+    bf16-encoded, the kernel casts chain-side operands to f32 at entry
+    (models/mega.py), and the only remaining divergence is the core
+    blocks' compute dtype (bf16 flax vs f32-register kernel)."""
+    from ertdx.models.condunet import CondUNet
+    from ertdx.models.mega import mega_denoise_ensemble
+    from ertdx.ops.core_block import pick_chunk
+
+    n_real, d = 16, 32
+    model = CondUNet(param_dim=29, hidden_dim=d, cond_channels=4,
+                     base_width=16, depth=2, num_blocks=2,
+                     num_heads=2, core_heads=1, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(5)
+    B = 4
+    cond = jnp.asarray(rng.normal(size=(B, 96, 4)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B * n_real, 29)), jnp.float32)
+    t = jnp.full((B * n_real,), 7, jnp.int32)
+    variables = model.init(jax.random.key(0), x[:B], t[:B], cond)
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.key(9), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.05 * jax.random.normal(k, l.shape)
+                  for l, k in zip(leaves, keys)])
+    ctx = model.apply({"params": params}, cond,
+                      method=model.encode_condition)
+    assert ctx[0].dtype == jnp.bfloat16        # the case under test
+    ref = model.apply({"params": params}, x, t, ctx, n_real,
+                      method=model.denoise_ensemble)
+    assert ref.dtype == jnp.float32            # head stays f32
+    chunk = pick_chunk(n_real, 29)
+    out = mega_denoise_ensemble(params, x, t, ctx, n_real, p=29, d=d,
+                                num_blocks=2, chunk=chunk, stack=True,
+                                interpret=True)
+    assert out.dtype == jnp.float32
+    # bf16 accumulation band (core_block.py module docstring): per-matmul
+    # ~2e-3 relative; four residual blocks compound to low-1e-2 absolute
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
 def test_mega_plan_vmem_gate(monkeypatch):
     """Oversize configs (weight stacks/logit tiles beyond the ~16 MiB
     VMEM budget) must never reach the Mosaic compiler (ADVICE r2): the
