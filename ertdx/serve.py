@@ -32,7 +32,8 @@ from .configs import ExperimentConfig, SampleConfig
 from .diffusion import schedule_from_config
 from .models import build_model
 from .params import ParameterSpace
-from .sample import _device_inverse, posterior_ensemble
+from .sample import (_device_const, _device_inverse, _fused_uq_fn,
+                     posterior_ensemble)
 from .train import load_best_model
 
 
@@ -152,15 +153,48 @@ class PosteriorService:
                            np.float32)
             cond = np.concatenate([cond, pad], axis=0)
         with self._lock:
-            u = posterior_ensemble(
-                self.model, self.params, jnp.asarray(cond), self.schedule,
-                jax.random.key(seed), n_realizations=n_realizations,
-                scfg=scfg, mesh=self.mesh)
-            # inverse pipeline on device (ONE readback of phys+mask); the
-            # host numpy path stays available via sample.inverse_pipeline
-            phys, mask = jax.device_get(_device_inverse(
-                u[:, :b], self.param_scaler,
-                jnp.asarray(self.space.plims), 0.0, 1.0))
+            if self.mesh is None:
+                # single-device serving: the whole request — reverse
+                # chain, inverse, mask — is ONE fused program with every
+                # small constant device-resident (_fused_uq_fn; the
+                # request key is used as-is, fold=False). Pad rows are
+                # sliced off on HOST post-readback: the inverse/mask are
+                # elementwise+rowwise, so slice-after == slice-before,
+                # and a device-side u[:, :b] slice was one more dispatch
+                # over the tunnel per request.
+                P = getattr(self.model, "param_dim", 29)
+                temperature = np.asarray(scfg.temperature, np.float32)
+                if temperature.ndim not in (0, 1) or (
+                        temperature.ndim == 1
+                        and temperature.shape[0] != P):
+                    raise ValueError(
+                        f"temperature must be a scalar or a length-{P} "
+                        f"(param_dim) vector, got {temperature.shape}")
+                go = _fused_uq_fn(self.model, n_realizations, P, scfg,
+                                  self.schedule.num_steps, cond.shape[1:],
+                                  self.max_batch, fold=False)
+                scaler_dev = jax.tree_util.tree_map(_device_const,
+                                                    self.param_scaler)
+                phys, mask = jax.device_get(go(
+                    self.params, jnp.asarray(cond), jax.random.key(seed),
+                    self.schedule, _device_const(temperature),
+                    _device_const(np.float32(scfg.guidance_scale)),
+                    scaler_dev, _device_const(self.space.plims),
+                    _device_const(np.float32(0.0)),
+                    _device_const(np.float32(1.0))))
+                phys, mask = phys[:, :b], mask[:, :b]
+            else:
+                u = posterior_ensemble(
+                    self.model, self.params, jnp.asarray(cond),
+                    self.schedule, jax.random.key(seed),
+                    n_realizations=n_realizations, scfg=scfg,
+                    mesh=self.mesh)
+                # inverse pipeline on device (ONE readback of phys+mask);
+                # the host numpy path stays available via
+                # sample.inverse_pipeline
+                phys, mask = jax.device_get(_device_inverse(
+                    u[:, :b], self.param_scaler,
+                    jnp.asarray(self.space.plims), 0.0, 1.0))
         stats = masked_posterior_stats(phys, mask)
         out = {
             **{k: v.tolist() for k, v in stats.items()},

@@ -190,6 +190,45 @@ def test_posterior_over_dataset(tiny_dataset):
     np.testing.assert_array_equal(mask, mask_host)
 
 
+def test_posterior_over_dataset_one_batch_fused(tiny_dataset):
+    """batch_size >= n on one device compiles the WHOLE workload (key
+    fold -> chain -> inverse -> mask) into ONE program (_fused_uq_fn);
+    results must equal the two-dispatch path (posterior_ensemble +
+    _device_inverse) — same fold_in, same ops, fused boundary only."""
+    from ertdx import sample as sample_lib
+
+    cfg = _cfg()
+    res = train(cfg, tiny_dataset)
+    model = build_model(cfg.model)
+    sch = get_diffusion_schedule(cfg.diffusion.T)
+    conds = tiny_dataset.conditions[:6]
+    sample_lib._FUSED_UQ_CACHE.clear()
+    pred, mask = posterior_over_dataset(
+        model, res.state.params, conds, sch, jax.random.key(0),
+        tiny_dataset.param_scaler, n_realizations=3, batch_size=64)
+    assert pred.shape == (3, 6, 29) and mask.shape == (3, 6)
+    assert len(sample_lib._FUSED_UQ_CACHE) == 1
+
+    u = posterior_ensemble(model, res.state.params, jnp.asarray(conds),
+                           sch, jax.random.fold_in(jax.random.key(0), 0),
+                           n_realizations=3)
+    from ertdx.params import ParameterSpace
+    phys_ref, mask_ref = sample_lib._device_inverse(
+        u, tiny_dataset.param_scaler,
+        jnp.asarray(ParameterSpace().plims), 0.0, 1.0)
+    np.testing.assert_allclose(pred, np.asarray(phys_ref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(mask, np.asarray(mask_ref))
+    # the repeat call reuses both the program and the device-resident
+    # constants (no cache growth)
+    n_consts = len(sample_lib._CONST_CACHE)
+    posterior_over_dataset(
+        model, res.state.params, conds, sch, jax.random.key(1),
+        tiny_dataset.param_scaler, n_realizations=3, batch_size=64)
+    assert len(sample_lib._FUSED_UQ_CACHE) == 1
+    assert len(sample_lib._CONST_CACHE) == n_consts
+
+
 def test_ensemble_cache_not_id_keyed(tiny_dataset):
     """Two same-shaped but different-architecture models must get distinct
     compiled ensembles (id() keys could alias after GC); a structurally
