@@ -74,6 +74,16 @@ class ModelConfig:
                                     # b*h*lp^2 logit elements (>= this)
                                     # even below the length gate; 0 = off
                                     # (A/B: benchmarks/train_attn.py)
+    attn_slab: bool = False        # packed-head slab attention for the
+                                   # encoder's short-sequence site: the
+                                   # SAME multi-head function computed
+                                   # from the fused QKV slab in one
+                                   # Pallas kernel (no (B,H,L,dh)
+                                   # relayout, no length padding, logits
+                                   # VMEM-only) — the function-preserving
+                                   # heads=4 lane-pad fix
+                                   # (ops/slab_attn.py; A/B:
+                                   # benchmarks/train_levers.py)
     dtype: str = "float32"         # condunet compute dtype ("bfloat16"
                                    # for MXU-native training; params f32)
     uncond_prob: float = 0.0       # classifier-free guidance: train-time

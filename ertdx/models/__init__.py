@@ -39,6 +39,7 @@ def build_model(cfg: ModelConfig):
                         ensemble_mega=cfg.ensemble_mega,
                         ensemble_mega_accurate=cfg.ensemble_mega_accurate,
                         flash_min_logits=cfg.attn_flash_min_logits,
+                        attn_slab=cfg.attn_slab,
                         dtype=jnp.dtype(cfg.dtype),
                         uncond_prob=cfg.uncond_prob,
                         parameterization=cfg.parameterization)

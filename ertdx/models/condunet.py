@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import flash_attention, reference_attention
+from ..ops.slab_attn import slab_attention
 from ..ops.conv import gn_silu_conv3
 from ..ops.ensemble_attn import (block_self_attention,
                                  block_self_attention_ok,
@@ -126,6 +127,14 @@ class SelfAttention1D(nn.Module):
     # biggest measured->implied gap was this segment's ~270 MB of
     # logits+probs HBM traffic). 0 disables the batch gate.
     flash_min_logits: int = 0
+    # packed-head slab kernel (ops/slab_attn.py) for the SHORT-sequence
+    # regime (l < pallas_min_len, no mask): computes the identical
+    # multi-head function from the fused QKV slab with heads packed in
+    # lanes — no (B,H,L,dh) relayout, no length padding, logits never
+    # leave VMEM. The function-preserving fix for the heads=4 lane-pad
+    # gap the roofline blamed (VERDICT r4 item 3); parameter tree is
+    # unchanged, so checkpoints are interchangeable with the XLA path.
+    slab: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -134,6 +143,10 @@ class SelfAttention1D(nn.Module):
         dh = c // self.num_heads
         h = nn.LayerNorm(dtype=self.dtype)(x)
         qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype)(h)
+        if (self.slab and mask is None and c % self.num_heads == 0
+                and _pad_len(l) < self.pallas_min_len):
+            out = slab_attention(qkv, self.num_heads, self.use_pallas)
+            return x + nn.Dense(c, dtype=self.dtype)(out)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):
@@ -191,6 +204,8 @@ class ConditionEncoder(nn.Module):
     pallas_conv_min_width: int = 0
     flash_min_logits: int = 0    # batch-aware flash-attention gate
                                  # (see SelfAttention1D)
+    attn_slab: bool = False      # packed-head slab attention kernel
+                                 # (see SelfAttention1D)
     dtype: Any = jnp.float32
 
     def _conv_fused(self, width: int) -> bool:
@@ -218,7 +233,7 @@ class ConditionEncoder(nn.Module):
                            dtype=self.dtype)(h)
         h = SelfAttention1D(self.num_heads, self.use_pallas,
                             flash_min_logits=self.flash_min_logits,
-                            dtype=self.dtype)(h)
+                            slab=self.attn_slab, dtype=self.dtype)(h)
         h = ResBlock1D(h.shape[-1], use_pallas=self.pallas_gn,
                        pallas_conv=self._conv_fused(h.shape[-1]),
                        dtype=self.dtype)(h)
@@ -374,6 +389,10 @@ class CondUNet(nn.Module):
                                  # gate (SelfAttention1D): engage Pallas
                                  # when b*h*lp^2 reaches this count even
                                  # at short lp; 0 = length gate only
+    attn_slab: bool = False      # packed-head slab kernel for the
+                                 # encoder's short-sequence attention
+                                 # (SelfAttention1D.slab): same function,
+                                 # no head relayout / length padding
     dtype: Any = jnp.float32     # compute dtype (params stay f32);
                                  # jnp.bfloat16 for MXU-native training
     uncond_prob: float = 0.0     # classifier-free guidance: train-time
@@ -396,6 +415,7 @@ class CondUNet(nn.Module):
             pallas_conv=self.pallas_conv,
             pallas_conv_min_width=self.pallas_conv_min_width,
             flash_min_logits=self.flash_min_logits,
+            attn_slab=self.attn_slab,
             dtype=self.dtype)
         self.lift = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.pos_emb = self.param(

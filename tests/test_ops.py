@@ -447,6 +447,66 @@ def test_mega_denoise_odd_shapes(p, n_real, num_blocks, d):
                                    rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.parametrize("b,l,c,nh", [
+    (4, 147, 256, 4),     # the b256 encoder shape family (dh=64)
+    (2, 96, 128, 2),      # dh=64, lane-aligned length
+    (8, 40, 64, 1),       # single head, short odd length
+    (4, 147, 256, 8),     # dh=32 (quarter-lane heads)
+])
+def test_slab_attention_parity(b, l, c, nh):
+    """Packed-head slab kernel (interpret mode) == the classic head-split
+    reference, forward and backward — the function-preserving contract
+    that lets it replace the XLA encoder attention with zero quality
+    cost (VERDICT r4 item 3)."""
+    from ertdx.ops.slab_attn import (reference_slab_attention,
+                                     slab_attention_backward_interpret,
+                                     slab_attention_interpret)
+
+    rng = np.random.default_rng(b * 1000 + l)
+    qkv = jnp.asarray(rng.normal(size=(b, l, 3 * c)), jnp.float32)
+    ref = reference_slab_attention(qkv, nh)
+    out = slab_attention_interpret(qkv, nh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    do = jnp.asarray(rng.normal(size=(b, l, c)), jnp.float32)
+    _, vjp = jax.vjp(lambda z: reference_slab_attention(z, nh), qkv)
+    dref = vjp(do)[0]
+    dk = slab_attention_backward_interpret(qkv, do, nh)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_condunet_attn_slab_function_preserving():
+    """attn_slab=True computes the SAME model function on the SAME
+    parameter tree (checkpoints interchangeable): outputs and gradients
+    match the default path to float tolerance."""
+    from ertdx.models.condunet import CondUNet
+
+    kw = dict(param_dim=29, hidden_dim=64, cond_channels=4, base_width=16,
+              depth=2, num_blocks=2, num_heads=2, core_heads=1)
+    m0 = CondUNet(**kw)
+    m1 = CondUNet(attn_slab=True, **kw)
+    rng = np.random.default_rng(3)
+    B = 4
+    cond = jnp.asarray(rng.normal(size=(B, 96, 4)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B, 29)), jnp.float32)
+    t = jnp.asarray(rng.integers(0, 50, B), jnp.int32)
+    params = m0.init(jax.random.key(0), x, t, cond)["params"]
+    # identical param tree -> the slab model accepts it directly
+    y0 = m0.apply({"params": params}, x, t, cond)
+    y1 = m1.apply({"params": params}, x, t, cond)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+    g0 = jax.grad(lambda p: jnp.sum(
+        m0.apply({"params": p}, x, t, cond) ** 2))(params)
+    g1 = jax.grad(lambda p: jnp.sum(
+        m1.apply({"params": p}, x, t, cond) ** 2))(params)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                     jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_mega_plan_accepts_bf16(monkeypatch):
     """bf16-activation models must route to the fused-core kernel, not
     the XLA fallback (VERDICT r4 item 1: the bf16 XLA ensemble measured
