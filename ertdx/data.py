@@ -43,7 +43,10 @@ from .transforms import MinMaxScaler, transform_to_unconstrained
 
 @dataclasses.dataclass(frozen=True)
 class SrvFormat:
-    """Configurable .srv layout (reference hard-codes all three fields)."""
+    """Configurable .srv layout (reference hard-codes all three fields;
+    its own README warns they vary across PFLOTRAN setups,
+    /root/reference/README.md:28 — see docs/MIGRATION.md for pointing
+    the ingest at a real corpus)."""
 
     skip_header: int = 259
     usecols: int = 5
@@ -51,6 +54,24 @@ class SrvFormat:
     # splitting on '-', then strip at 'd'. Reference:
     # Generate_ERT_utils.py:212.
     time_token_index: int = 2
+    # guard against silent header-drift corruption: a skip_header SMALLER
+    # than the real header feeds text lines to the numpy parser, which
+    # yields NaN rows without complaint (np.genfromtxt). True (default)
+    # raises with a skip_header hint instead; set False only for corpora
+    # with legitimate non-finite measurements.
+    require_finite: bool = True
+
+
+def _check_finite(arr: np.ndarray, where: str, fmt: "SrvFormat") -> None:
+    if fmt.require_finite and not np.isfinite(arr).all():
+        bad = int(np.size(arr) - np.isfinite(arr).sum())
+        raise ValueError(
+            f"{where}: {bad} non-finite values parsed — usually "
+            f"skip_header={fmt.skip_header} is smaller than the file's "
+            f"real header (text rows parse as NaN), or the data column "
+            f"index usecols={fmt.usecols} is wrong. Adjust SrvFormat, or "
+            f"set require_finite=False for corpora with genuine "
+            f"non-finite measurements.")
 
 
 def _srv_time(fname: str, fmt: SrvFormat) -> float:
@@ -75,11 +96,14 @@ def read_srv_file(path: str, fmt: SrvFormat = SrvFormat()) -> np.ndarray:
         from .utils import srv_native
         out = srv_native.read_srv_column(path, fmt.skip_header, fmt.usecols)
         if out is not None:
+            _check_finite(out, str(path), fmt)
             return out
     except ImportError:
         pass
-    return np.genfromtxt(path, skip_header=fmt.skip_header,
-                         usecols=fmt.usecols)
+    out = np.genfromtxt(path, skip_header=fmt.skip_header,
+                        usecols=fmt.usecols)
+    _check_finite(out, str(path), fmt)
+    return out
 
 
 def gather_srv_data(prefix: str, directory: str = ".",
@@ -113,6 +137,7 @@ def gather_srv_data(prefix: str, directory: str = ".",
             raise ValueError(
                 f"ragged .srv files in {directory!r}: per-file rows "
                 f"{sorted(set(counts.tolist()))}")
+        _check_finite(batch, f"{prefix}*.srv in {directory!r}", fmt)
         return batch
     data = [read_srv_file(p, fmt) for p in paths]
     return np.array(data).flatten()
@@ -172,6 +197,7 @@ def gather_srv_ensemble(directories, prefix: str,
         raise ValueError(
             f"ragged ensemble: per-file row counts differ from "
             f"{int(counts[0])}: {dict(list(bad.items())[:4])}")
+    _check_finite(batch, f"{prefix}*.srv ensemble ({len(dirs)} dirs)", fmt)
     return batch.reshape(len(dirs), -1)
 
 

@@ -148,3 +148,162 @@ def test_num_shards_counts_batch_axis_only():
     assert _num_shards(NamedSharding(mesh, PartitionSpec("data"))) == 4
     assert _num_shards(NamedSharding(mesh, PartitionSpec(None))) == 1
     assert _num_shards(None) == 1
+
+
+# --------------------------------------------------------------------------
+# .srv format-drift fuzzing (VERDICT r4 item 7): the reference README
+# itself warns header counts / columns / filename tokens vary across
+# PFLOTRAN setups (/root/reference/README.md:28). Every drift axis must
+# either parse correctly under a matching SrvFormat or fail LOUDLY —
+# never silently corrupt the ingested stack.
+# --------------------------------------------------------------------------
+
+def _write_srv_grid(path, values, skip_header, n_cols, usecols,
+                    header_text="survey header"):
+    """Write a .srv file whose column `usecols` holds `values`."""
+    with open(path, "w") as f:
+        for i in range(skip_header):
+            f.write(f"{header_text} {i}\n")
+        for v in values:
+            cols = [f"{c + 1}.0" for c in range(n_cols)]
+            cols[usecols] = f"{v:.6f}"
+            f.write(" ".join(cols) + "\n")
+
+
+class TestSrvFormatDrift:
+    def test_fuzz_random_formats(self, tmp_path, monkeypatch):
+        """Property test: for random (skip_header, n_cols, usecols, file
+        count, row count, unordered float day stamps), a MATCHING
+        SrvFormat recovers exactly the written values in time order —
+        on both the native fast path and the numpy fallback."""
+        from ertdx.utils import srv_native
+
+        rng = np.random.default_rng(7)
+        for trial in range(12):
+            d = tmp_path / f"t{trial}"
+            d.mkdir()
+            skip = int(rng.integers(0, 9))
+            n_cols = int(rng.integers(6, 11))
+            usecols = int(rng.integers(0, n_cols))
+            n_files = int(rng.integers(1, 5))
+            rows = int(rng.integers(1, 7))
+            days = rng.choice(np.arange(1, 400), size=n_files,
+                              replace=False).astype(float)
+            if trial % 2:
+                days = days + 0.5          # fractional day stamps
+            expected = []
+            for j, day in enumerate(days):
+                vals = rng.normal(size=rows) * 100
+                expected.append((day, vals))
+                _write_srv_grid(d / f"sim-E1-{day:g}d.srv", vals,
+                                skip, n_cols, usecols)
+            expected.sort(key=lambda t: t[0])
+            truth = np.concatenate([v for _, v in expected])
+            fmt = SrvFormat(skip_header=skip, usecols=usecols,
+                            time_token_index=2)
+            out = data_lib.gather_srv_data("sim", str(d), fmt)
+            np.testing.assert_allclose(out, truth, rtol=1e-6)
+            # numpy fallback leg must agree exactly
+            monkeypatch.setattr(srv_native, "read_srv_batch",
+                                lambda *a, **k: None)
+            monkeypatch.setattr(srv_native, "read_srv_column",
+                                lambda *a, **k: None)
+            out_np = data_lib.gather_srv_data("sim", str(d), fmt)
+            monkeypatch.undo()
+            np.testing.assert_allclose(out_np, truth, rtol=1e-6)
+
+    def test_header_undercount_raises_not_corrupts(self, tmp_path,
+                                                   monkeypatch):
+        """skip_header smaller than the real header must raise with a
+        skip_header hint — np.genfromtxt would otherwise emit NaN rows
+        silently. Pinned on the numpy path (the native parser already
+        errors on text rows and falls back)."""
+        import pytest
+        from ertdx.utils import srv_native
+
+        # header rows with the SAME token count as data rows: the one
+        # layout np.genfromtxt accepts silently (as NaN rows) instead of
+        # raising an inconsistent-columns error
+        _write_srv_grid(tmp_path / "sim-E1-10d.srv",
+                        np.arange(4.0), 6, 7, 5,
+                        header_text="hA hB hC hD hE hF")
+        fmt = SrvFormat(skip_header=3, usecols=5)
+        monkeypatch.setattr(srv_native, "read_srv_batch",
+                            lambda *a, **k: None)
+        monkeypatch.setattr(srv_native, "read_srv_column",
+                            lambda *a, **k: None)
+        with pytest.raises(ValueError, match="skip_header"):
+            data_lib.gather_srv_data("sim", str(tmp_path), fmt)
+        # opt-out for corpora with genuine non-finite measurements
+        out = data_lib.gather_srv_data(
+            "sim", str(tmp_path),
+            SrvFormat(skip_header=3, usecols=5, require_finite=False))
+        assert np.isnan(out).any()
+
+    def test_header_overcount_shrinks_rows_loudly(self, tmp_path):
+        """skip_header LARGER than the real header consumes data rows;
+        the per-file row count then disagrees across a mixed corpus and
+        the ensemble ingest refuses (ragged guard)."""
+        import pytest
+
+        d1 = tmp_path / "s1"
+        d2 = tmp_path / "s2"
+        d1.mkdir()
+        d2.mkdir()
+        _write_srv_grid(d1 / "sim-E1-10d.srv", np.arange(6.0), 4, 7, 5)
+        _write_srv_grid(d2 / "sim-E1-10d.srv", np.arange(4.0), 4, 7, 5)
+        with pytest.raises(ValueError, match="ragged"):
+            data_lib.gather_srv_ensemble(
+                [d1, d2], "sim", SrvFormat(skip_header=4, usecols=5))
+
+    def test_missing_column_raises(self, tmp_path):
+        """Files with FEWER columns than usecols must raise on every
+        path (the native parser returns an error -> numpy fallback ->
+        genfromtxt raises), never return a wrong column."""
+        import pytest
+
+        _write_srv_grid(tmp_path / "sim-E1-10d.srv",
+                        np.arange(4.0), 2, 4, 3)      # only 4 columns
+        with pytest.raises(Exception):
+            data_lib.gather_srv_data("sim", str(tmp_path),
+                                     SrvFormat(skip_header=2, usecols=5))
+
+    def test_extra_columns_ok(self, tmp_path):
+        """Files with MORE columns than the reference's 6 parse fine."""
+        vals = np.array([7.0, 8.0, 9.0])
+        _write_srv_grid(tmp_path / "sim-E1-10d.srv", vals, 2, 12, 5)
+        out = data_lib.gather_srv_data("sim", str(tmp_path),
+                                       SrvFormat(skip_header=2, usecols=5))
+        np.testing.assert_allclose(out, vals)
+
+    def test_ragged_within_sim_raises(self, tmp_path):
+        """Two surveys of one sim with different row counts must raise
+        (a truncated survey would silently shift every later row)."""
+        import pytest
+
+        _write_srv_grid(tmp_path / "sim-E1-10d.srv", np.arange(4.0),
+                        2, 7, 5)
+        _write_srv_grid(tmp_path / "sim-E1-20d.srv", np.arange(3.0),
+                        2, 7, 5)
+        with pytest.raises(ValueError):
+            data_lib.gather_srv_data("sim", str(tmp_path),
+                                     SrvFormat(skip_header=2, usecols=5))
+
+    def test_filename_token_variants(self, tmp_path):
+        """Day-token drift: different '-'-token positions, suffixes
+        after the 'd', and NUMERIC (not lexicographic) time ordering."""
+        fmt1 = SrvFormat(skip_header=1, usecols=5, time_token_index=1)
+        _write_srv_grid(tmp_path / "sim-9d.srv", [9.0], 1, 7, 5)
+        _write_srv_grid(tmp_path / "sim-10d.srv", [10.0], 1, 7, 5)
+        _write_srv_grid(tmp_path / "sim-100d_final.srv", [100.0], 1, 7, 5)
+        out = data_lib.gather_srv_data("sim", str(tmp_path), fmt1)
+        np.testing.assert_allclose(out, [9.0, 10.0, 100.0])  # 9 < 10 < 100
+
+    def test_missing_token_clear_error(self, tmp_path):
+        import pytest
+
+        _write_srv_grid(tmp_path / "simnodash.srv", [1.0], 1, 7, 5)
+        with pytest.raises(ValueError, match="time token"):
+            data_lib.gather_srv_data(
+                "simnodash", str(tmp_path),
+                SrvFormat(skip_header=1, usecols=5, time_token_index=2))
