@@ -56,7 +56,7 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
         heads: int | None = None,
         loss_weighting: str = "none", snr_gamma: float = 5.0,
         beta_schedule: str = "linear", skip_train: bool = False,
-        result_name: str = "result.json") -> dict:
+        result_name: str = "result.json", dataset_scale: int = 1) -> dict:
     import jax
 
     from ertdx import configs, data as data_lib
@@ -81,9 +81,13 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
         # "beta" prefix: a bare schedule name collides with the LR-schedule
         # tag (condunet-cosine_s42 is the round-3 cosine-LR artifact).
         tag = f"{tag}-beta{beta_schedule}"
+    if dataset_scale != 1:
+        # data-scaling study: same forward-operator family, more samples
+        tag = f"{tag}-x{dataset_scale}"
+    n_data = N * dataset_scale
     rdir = OUT / f"{tag}_s{seed}"
     rdir.mkdir(parents=True, exist_ok=True)
-    ds, forward = make_dataset(return_forward=True)
+    ds, forward = make_dataset(return_forward=True, n=n_data)
 
     cfg = configs.ExperimentConfig(
         diffusion=configs.DiffusionConfig(T=T, schedule=beta_schedule),
@@ -127,7 +131,7 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
     state, _, _ = load_best_model(str(rdir / "ckpt"), cfg, ds)
     model = build_model(cfg.model)
     schedule = schedule_from_config(cfg.diffusion)
-    _, _, test_idx = data_lib.split_dataset(N, seed, (0.8, 0.1))
+    _, _, test_idx = data_lib.split_dataset(n_data, seed, (0.8, 0.1))
     true_u = np.asarray(ds.params_u[test_idx])
     conds = np.asarray(ds.conditions[test_idx])
 
@@ -168,6 +172,7 @@ def run(model_name: str, seed: int, epochs: int = EPOCHS,
 
     rec = {
         "model": tag, "seed": seed, "epochs": epochs,
+        "dataset_scale": dataset_scale, "n_data": n_data,
         "n_test": int(len(test_idx)), "n_real": N_REAL,
         "best_val": float(res.best_val_loss),
         "best_epoch": int(res.best_epoch),
@@ -297,6 +302,10 @@ def main():
     ap.add_argument("--result-name", default="result.json",
                     help="result filename inside the run dir (keep "
                          "historical result.json files distinct)")
+    ap.add_argument("--dataset-scale", type=int, default=1,
+                    help="train on scale x 5,076 samples from the same "
+                         "synthetic forward family (coverage-collapse "
+                         "scaling study)")
     args = ap.parse_args()
     OUT.mkdir(parents=True, exist_ok=True)
     if args.leg == "report":
@@ -308,7 +317,7 @@ def main():
         loss_weighting=args.loss_weighting, snr_gamma=args.snr_gamma,
         beta_schedule=args.beta_schedule,
         skip_train=(args.leg == "eval"),
-        result_name=args.result_name)
+        result_name=args.result_name, dataset_scale=args.dataset_scale)
 
 
 if __name__ == "__main__":

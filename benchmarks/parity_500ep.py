@@ -37,7 +37,7 @@ OUT = Path(__file__).resolve().parent.parent / "docs" / "results" / \
     "ref_parity_500ep"
 
 
-def make_dataset(return_forward: bool = False):
+def make_dataset(return_forward: bool = False, n: int = N):
     """Seeded synthetic dataset at reference scale: physical parameter
     draws (Sobol over the real bounds) and an ERT stack that actually
     DEPENDS on the parameters (smooth random linear response + noise), so
@@ -48,13 +48,20 @@ def make_dataset(return_forward: bool = False):
     response operator params_phys (M, P) -> ERT (M, L, C) (standardizing
     with the TRAINING ensemble's moments), the synthetic stand-in for a
     PFLOTRAN forward run — used by the flagship full-scale WSSE closure
-    (benchmarks/flagship_fullscale.py)."""
+    (benchmarks/flagship_fullscale.py).
+
+    n overrides the sample count (default: the reference's 5,076) while
+    keeping the SAME forward-operator family — basis/waves/chan are
+    drawn from rng(7) before any n-dependent draw, so a 2x/4x dataset is
+    'more data from the same physics' (the data-scaling study,
+    VERDICT r4 item 5)."""
     from ertdx import data as data_lib
     from ertdx.doe import SurrogateDataGenerator
 
     # deterministic (seeded) build: cache the raw arrays so repeated
     # harness runs on the single-core host skip ~2-10 min of generation
-    cache = Path(__file__).resolve().parent / ".cache_parity_ds.npz"
+    suffix = "" if n == N else f"_n{n}"
+    cache = Path(__file__).resolve().parent / f".cache_parity_ds{suffix}.npz"
     cached = None
     if cache.exists():
         with np.load(cache) as z:
@@ -62,7 +69,7 @@ def make_dataset(return_forward: bool = False):
 
     params_phys = (cached["params_phys"] if cached else
                    SurrogateDataGenerator(seed=7).generate_training_samples(
-                       N, "sobol"))                    # (N, P) physical
+                       n, "sobol"))                    # (n, P) physical
     rng = np.random.default_rng(7)
     # standardized params -> smooth response map -> (N, L, C)
     mu, sd = params_phys.mean(0), params_phys.std(0) + 1e-9
@@ -88,7 +95,7 @@ def make_dataset(return_forward: bool = False):
         signal = np.einsum("nk,lk,kc->nlc", ps.astype(np.float32) @ basis,
                            waves, chan, optimize=True)
         ert = 50.0 + 8.0 * signal + rng.normal(
-            0, 2.0, size=(N, L, C)).astype(np.float32)
+            0, 2.0, size=(n, L, C)).astype(np.float32)
         try:
             np.savez(cache, params_phys=params_phys, ert=ert)
         except OSError:

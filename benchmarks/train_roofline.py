@@ -160,6 +160,55 @@ def conv_flops(b, l, cin, cout, k=3, stride=1):
     return 2.0 * b * (l // stride) * k * cin * cout
 
 
+def resblock_bytes(b, l, c, dtype=4):
+    """ResBlock1D NECESSARY traffic: two convs + the GN+SiLU passes the
+    conv-only model never counted (VERDICT r4 item 3). Each GroupNorm
+    needs a statistics pass over the activation (one extra read; the
+    normalize+SiLU pass can fuse into the consumer conv's read — the
+    repo's gn_silu_conv3 kernel realizes exactly that), and the residual
+    adds one skip read + one sum write. bwd: GN backward needs two
+    reduction passes over (x, dy) plus the conv backward — model 2x the
+    fwd extras (conservative fused lower bound)."""
+    conv_f, conv_b = conv_bytes(b, l, c, c, dtype=dtype)
+    act = b * l * c * dtype
+    gn_extra_f = 2 * act                 # 2 x GN stats read
+    skip = 2 * act                       # skip read + residual-sum write
+    fwd = 2 * conv_f + gn_extra_f + skip
+    bwd = 2 * conv_b + 2 * gn_extra_f + 2 * skip
+    return fwd, bwd
+
+
+def attn_bytes(b, l, c, h, dtype=4):
+    """Encoder self-attention traffic, two models.
+
+    necessary: pre-norm read, qkv-dense in/out, attention slab in/out,
+    out-proj in/out — what a fused kernel pays (ops/slab_attn.py
+    realizes it: logits never leave VMEM). This is the byte model the
+    roofline-implied ceiling uses.
+
+    xla_materialized: what the DEFAULT XLA path actually moves — adds
+    the 3x (B,H,L,dh) head relayout copies (write+read, lane-padded
+    dh->128 when dh < 128) and ~3 HBM passes over the (B,H,L,L) logit
+    tensor (logit write, softmax read+write) plus the attention-out
+    relayout back. Documented per segment so measured/necessary gaps
+    are attributable; at (256, 147, 256, 4) the logit passes alone are
+    ~265 MB fwd.
+    """
+    act = b * l * c * dtype
+    necessary_f = (act            # pre-norm read
+                   + act + 3 * act  # qkv dense in(normed)/out
+                   + 3 * act + act  # attention slab in / out
+                   + act + act)     # out-proj in/out
+    necessary_b = 2 * necessary_f
+    dh = c // h
+    dh_pad = max(dh, 128)            # lane-padded head tensors
+    head_t = b * h * l * dh_pad * dtype
+    logits = b * h * l * l * dtype
+    xla_f = necessary_f + 3 * 2 * head_t + 3 * logits + 2 * head_t
+    xla_b = 2 * xla_f
+    return necessary_f, necessary_b, xla_f, xla_b
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="32,256")
@@ -217,31 +266,37 @@ def main() -> int:
             *conv_bytes(B, LP, 112, W0, k=1)[0:2])
         seg("res128_L587", ResBlock1D(W0), (B, LP, W0),
             2 * conv_flops(B, LP, W0, W0),
-            2 * conv_bytes(B, LP, W0, W0)[0],
-            2 * conv_bytes(B, LP, W0, W0)[1])
+            *resblock_bytes(B, LP, W0))
         seg("down1_128_256", nn.Conv(W1, (3,), strides=(2,),
                                      padding="SAME"), (B, LP, W0),
             conv_flops(B, LP, W0, W1, stride=2),
             *conv_bytes(B, LP, W0, W1, stride=2))
         seg("res256_L294", ResBlock1D(W1), (B, 294, W1),
             2 * conv_flops(B, 294, W1, W1),
-            2 * conv_bytes(B, 294, W1, W1)[0],
-            2 * conv_bytes(B, 294, W1, W1)[1])
+            *resblock_bytes(B, 294, W1))
         seg("down2_256_256", nn.Conv(W1, (3,), strides=(2,),
                                      padding="SAME"), (B, 294, W1),
             conv_flops(B, 294, W1, W1, stride=2),
             *conv_bytes(B, 294, W1, W1, stride=2))
         seg("res256_L147", ResBlock1D(W1), (B, 147, W1),
             2 * conv_flops(B, 147, W1, W1),
-            2 * conv_bytes(B, 147, W1, W1)[0],
-            2 * conv_bytes(B, 147, W1, W1)[1])
+            *resblock_bytes(B, 147, W1))
         # attention at 147 tokens runs the XLA path (pallas_min_len 1024),
         # exactly as in training
         attn_flops = (2.0 * B * 147 * W1 * 3 * W1          # qkv
                       + 4.0 * B * 147 * 147 * W1           # logits+out
                       + 2.0 * B * 147 * W1 * W1)           # proj
+        at_nf, at_nb, at_xf, at_xb = attn_bytes(B, 147, W1, 4)
         seg("attn_L147", SelfAttention1D(4), (B, 147, W1), attn_flops,
-            (B * 147 * W1 * 6) * 4.0, (B * 147 * W1 * 12) * 4.0)
+            at_nf, at_nb)
+        # document the DEFAULT XLA path's materialized traffic next to
+        # the necessary model the ceiling uses (ops/slab_attn.py is the
+        # kernel that pays only the necessary bytes)
+        out[f"b{B}"]["attn_L147"]["xla_materialized_bytes"] = {
+            "fwd": at_xf, "bwd": at_xb,
+            "note": "head relayout copies + ~3 HBM passes over the "
+                    "(B,H,L,L) logits; the necessary model (used for "
+                    "the implied ceiling) is the fused-kernel traffic"}
 
         # --- core (x num_blocks=4 in the step) --------------------------
         core = CoreBlock(num_heads=1)
