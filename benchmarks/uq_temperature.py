@@ -37,7 +37,8 @@ def main() -> int:
 
     from ertdx import configs, data as data_lib
     from ertdx.diffusion import get_diffusion_schedule
-    from ertdx.metrics import uq_scores
+    from ertdx.metrics import (crps_ensemble, sbc_ranks, sbc_uniformity,
+                               uq_scores)
     from ertdx.models import build_model
     from ertdx.sample import posterior_over_dataset
     from ertdx.train import load_best_model
@@ -88,6 +89,14 @@ def main() -> int:
                "goodness": float(sc["goodness"]),
                "valid_fraction": float(mask.mean()),
                "ensemble_sd_mean": float(pred.std(axis=0).mean()),
+               # proper scores per temperature: the head-to-head axes
+               # the coverage triple saturates on (VERDICT r4 items 2+4)
+               "crps_mean_normalized": float(
+                   (crps_ensemble(pred, true_phys)
+                    / (true_phys.max(0) - true_phys.min(0)
+                       + 1e-12)).mean()),
+               "sbc_ks_mean": float(np.mean(sbc_uniformity(
+                   sbc_ranks(pred, true_phys), N_REAL))),
                "seconds": round(dt, 1)}
         out["temps"][str(temp)] = rec
         print(json.dumps({f"T{temp}": rec}), flush=True)
