@@ -60,10 +60,13 @@ def main() -> int:
         return 1
     base_ax = {k: [axes(base[s])[k] for s in SEEDS]
                for k in axes(base[42])}
-    report: dict = {"baseline_band": {
-        k: {"values": v, "min": min(v), "max": max(v),
-            "mean": float(np.mean(v))}
-        for k, v in base_ax.items() if v[0] is not None}}
+    report: dict = {"baseline_band": {}}
+    for k, v in base_ax.items():
+        vv = [x for x in v if x is not None]
+        if vv:
+            report["baseline_band"][k] = {
+                "values": v, "min": min(vv), "max": max(vv),
+                "mean": float(np.mean(vv)), "n": len(vv)}
 
     verdicts = {}
     for tag in ("condunet-minsnr5", "condunet-h1", "condunet-h2"):
@@ -75,9 +78,11 @@ def main() -> int:
               for k in axes(recs[have[0]])}
         v: dict = {"seeds": have, "axes": ax, "supported": {}}
         for k, vals in ax.items():
-            if any(x is None for x in vals) or base_ax[k][0] is None:
+            bvals = [x for x in base_ax[k] if x is not None]
+            vals = [x for x in vals if x is not None]
+            if not vals or not bvals:
                 continue
-            lo, hi = min(base_ax[k]), max(base_ax[k])
+            lo, hi = min(bvals), max(bvals)
             below = all(x < lo for x in vals)   # lower-better axes
             above = all(x > hi for x in vals)
             v["supported"][k] = ("below_band" if below else
