@@ -407,16 +407,17 @@ def _measure_uq_testset(model_name: str, n_test: int = 508,
             ("_dpmpp15", batch, dpmpp, model),
             ("_pd4", batch, pd4, model), ("_pd1", batch, pd1, model),
             ("_pd1_1dispatch", n_test, pd1, model)):
-        # warm (compiles each distinct batch shape once)
+        # warm (compiles each distinct batch shape once); int seeds ->
+        # the key materializes inside the fused one-batch program
         posterior_over_dataset(mdl, state.params, conds[:bsz], sch,
-                               jax.random.key(0), scaler,
+                               0, scaler,
                                n_realizations=n_real, batch_size=bsz,
                                scfg=scfg)
         times = []
         for i in range(2):
             t0 = time.perf_counter()
             pred, mask = posterior_over_dataset(
-                mdl, state.params, conds, sch, jax.random.key(1 + i),
+                mdl, state.params, conds, sch, 1 + i,
                 scaler, n_realizations=n_real, batch_size=bsz, scfg=scfg)
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[0]

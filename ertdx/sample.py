@@ -273,7 +273,8 @@ def _ensemble_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
 
 
 def _fused_uq_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
-                 T: int, cond_shape, batch: int, fold: bool = True):
+                 T: int, cond_shape, batch: int, fold: bool = True,
+                 seed_mode: bool = False):
     """ONE compiled program for the whole one-batch terminal workload:
     per-batch key fold -> reverse chain -> sigmoid inverse -> MinMax
     inverse -> bounds mask. The separate eager fold_in and the second
@@ -285,7 +286,7 @@ def _fused_uq_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
     key_ = (_cache_token(model), n_realizations, P, scfg.sampler,
             scfg.ddim_steps, scfg.ddim_eta, scfg.dpmpp_steps,
             getattr(scfg, "pd_steps", 4), scfg.guidance_scale != 1.0,
-            interval, T, tuple(cond_shape), batch, fold)
+            interval, T, tuple(cond_shape), batch, fold, seed_mode)
     fn = _FUSED_UQ_CACHE.get(key_)
     if fn is not None:
         return fn
@@ -295,6 +296,13 @@ def _fused_uq_fn(model, n_realizations: int, P: int, scfg: SampleConfig,
     @jax.jit
     def go(params, condition, key, schedule, temperature, guidance,
            scaler, limits, a, b):
+        # seed_mode: `key` arrives as a traced uint32 SEED and the
+        # threefry key materializes inside the program — the eager
+        # jax.random.key(seed) on the caller side was one more tunnel
+        # RPC per request (docs/results/uq_floor.json). Derivation
+        # matches the eager call bitwise (same jax.random.key).
+        if seed_mode:
+            key = jax.random.key(key)
         # fold=True: fold_in(key, 0) == the sequential driver's batch-0
         # key — the fused program is bitwise the two-dispatch path
         # (pinned in tests/test_train_sample.py). fold=False keeps the
@@ -441,6 +449,10 @@ def posterior_over_dataset(model, params, conditions: np.ndarray,
     small constants device-resident, so a call is compute + one dispatch
     + one readback. Bitwise identical to the batched path (the fold_in
     and every op are the same; pinned in tests/test_train_sample.py).
+
+    key may be an INT seed: the threefry key then materializes inside
+    the compiled program (one fewer tunnel RPC on the one-batch path;
+    bitwise jax.random.key(seed) everywhere).
     """
     space = space or ParameterSpace()
     n = conditions.shape[0]
@@ -464,8 +476,15 @@ def posterior_over_dataset(model, params, conditions: np.ndarray,
             raise ValueError(
                 f"temperature must be a scalar or a length-{P} "
                 f"(param_dim) vector, got shape {temperature.shape}")
+        # an int key is a SEED: the threefry key then materializes
+        # inside the compiled program (one fewer tunnel RPC per call);
+        # bitwise identical to passing jax.random.key(seed)
+        seed_mode = isinstance(key, (int, np.integer))
         go = _fused_uq_fn(model, n_realizations, P, scfg_,
-                          schedule.num_steps, conditions.shape[1:], n)
+                          schedule.num_steps, conditions.shape[1:], n,
+                          seed_mode=seed_mode)
+        if seed_mode:
+            key = jnp.uint32(key)
         scaler_dev = jax.tree_util.tree_map(_device_const, param_scaler)
         phys, mask = go(params, conditions, key, schedule,
                         _device_const(temperature),
@@ -474,6 +493,8 @@ def posterior_over_dataset(model, params, conditions: np.ndarray,
                         _device_const(np.float32(a)),
                         _device_const(np.float32(b)))
         return jax.device_get((phys, mask))
+    if isinstance(key, (int, np.integer)):     # int seed on the generic
+        key = jax.random.key(key)              # path: eager conversion
     outs = []
     for bi, s in enumerate(range(0, n, bs)):
         # skip no-op device slices: over this environment's tunnel every

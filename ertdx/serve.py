@@ -172,11 +172,12 @@ class PosteriorService:
                         f"(param_dim) vector, got {temperature.shape}")
                 go = _fused_uq_fn(self.model, n_realizations, P, scfg,
                                   self.schedule.num_steps, cond.shape[1:],
-                                  self.max_batch, fold=False)
+                                  self.max_batch, fold=False,
+                                  seed_mode=True)
                 scaler_dev = jax.tree_util.tree_map(_device_const,
                                                     self.param_scaler)
                 phys, mask = jax.device_get(go(
-                    self.params, jnp.asarray(cond), jax.random.key(seed),
+                    self.params, jnp.asarray(cond), jnp.uint32(seed),
                     self.schedule, _device_const(temperature),
                     _device_const(np.float32(scfg.guidance_scale)),
                     scaler_dev, _device_const(self.space.plims),

@@ -228,6 +228,22 @@ def test_posterior_over_dataset_one_batch_fused(tiny_dataset):
     assert len(sample_lib._FUSED_UQ_CACHE) == 1
     assert len(sample_lib._CONST_CACHE) == n_consts
 
+    # int-seed mode: the key materializes INSIDE the program — results
+    # are bitwise the explicit-key call (one fewer RPC per call)
+    pred_seed, mask_seed = posterior_over_dataset(
+        model, res.state.params, conds, sch, 0,
+        tiny_dataset.param_scaler, n_realizations=3, batch_size=64)
+    np.testing.assert_array_equal(pred_seed, pred)
+    np.testing.assert_array_equal(mask_seed, mask)
+    # and on the generic multi-batch path (eager conversion)
+    p_a, _ = posterior_over_dataset(
+        model, res.state.params, conds, sch, 5,
+        tiny_dataset.param_scaler, n_realizations=3, batch_size=4)
+    p_b, _ = posterior_over_dataset(
+        model, res.state.params, conds, sch, jax.random.key(5),
+        tiny_dataset.param_scaler, n_realizations=3, batch_size=4)
+    np.testing.assert_array_equal(p_a, p_b)
+
 
 def test_ensemble_cache_not_id_keyed(tiny_dataset):
     """Two same-shaped but different-architecture models must get distinct
