@@ -23,6 +23,7 @@ run_job() {
   return 1
 }
 
+run_job bf16_mega python benchmarks/check_bf16_mega.py
 run_job slab_ab python benchmarks/train_slab.py
 run_job roofline python benchmarks/train_roofline.py
 for s in 42 43 44; do
