@@ -223,7 +223,8 @@ def _measure_train_step_scan(model_name: str, n_iter: int = 256,
 
 def _measure_train_big_batch(model_name: str, batch: int = 256,
                              steps: int = 12, warmup: int = 3,
-                             dtype: str = "float32") -> dict:
+                             dtype: str = "float32",
+                             attn_slab: bool = False) -> dict:
     """Large-batch train step at the reference condition grid: shows the
     step scales with batch (the batch-32 grid is latency-dominated)."""
     from ertdx.configs import ModelConfig
@@ -233,7 +234,7 @@ def _measure_train_big_batch(model_name: str, batch: int = 256,
 
     cfg = dataclasses.replace(ModelConfig(), name=model_name,
                               cond_length=REF_LEN, cond_channels=REF_CH,
-                              dtype=dtype)
+                              dtype=dtype, attn_slab=attn_slab)
     model = build_model(cfg)
     sch = get_diffusion_schedule(T)
     state = create_train_state(model, jax.random.key(0), 1e-4, batch,
@@ -567,11 +568,16 @@ def main() -> int:
     # (benchmarks/train_bf16.py; quality-safe — 500-epoch best-val
     # 0.469 vs the f32 seed band 0.483±0.010). Since round 4 this IS the
     # throughput preset's default (configs.V5E8_DP dtype="bfloat16");
-    # the f32 parity presets are unchanged.
+    # the f32 parity presets are unchanged. Since round 5 the preset
+    # also defaults attn_slab=True (packed-head slab attention — same
+    # heads=4 function, -10.5% step on-chip, slab_attn.json), so the
+    # bf16 arm measures the shipped preset config.
     try:
         extras.update(_measure_train_big_batch("condunet", batch=256,
-                                               dtype="bfloat16"))
+                                               dtype="bfloat16",
+                                               attn_slab=True))
         extras["b256_default_dtype"] = "bfloat16"
+        extras["b256_bf16_attn_slab"] = True
     except Exception as e:  # noqa: BLE001
         extras["b256_bf16_error"] = str(e)[:200]
 

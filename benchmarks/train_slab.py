@@ -36,7 +36,8 @@ OUT = Path(__file__).resolve().parent.parent / "docs" / "results" / \
 B, L, C, HEADS = 256, 147, 256, 4
 
 
-def step_us(batch: int, n_iter: int, dtype: str, attn_slab: bool) -> float:
+def step_us(batch: int, n_iter: int, dtype: str, attn_slab: bool,
+            pallas_conv_min_width: int = 0) -> float:
     from ertdx.configs import DiffusionConfig, ModelConfig
     from ertdx.diffusion import get_diffusion_schedule
     from ertdx.models import build_model
@@ -44,7 +45,8 @@ def step_us(batch: int, n_iter: int, dtype: str, attn_slab: bool) -> float:
 
     L0, C0, P = 4693, 14, 29
     mcfg = ModelConfig(name="condunet", cond_length=L0, cond_channels=C0,
-                      dtype=dtype, attn_slab=attn_slab)
+                      dtype=dtype, attn_slab=attn_slab,
+                      pallas_conv_min_width=pallas_conv_min_width)
     model = build_model(mcfg)
     sch = get_diffusion_schedule(DiffusionConfig().T)
     state = create_train_state(model, jax.random.key(0), 1e-4,

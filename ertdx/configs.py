@@ -301,9 +301,18 @@ DDIM_ENSEMBLE = ExperimentConfig(
 # mega_plan accepts bf16 models (its matmuls are bf16 MXU passes in fast
 # mode regardless), so bf16-at-restore no longer silently disqualifies
 # the 2.44x sampler (VERDICT r4 item 1; quality gate sample_bf16_s42).
+# The preset also defaults attn_slab=True: the packed-head slab
+# attention kernel computes the identical heads=4 encoder function
+# (same param tree, XLA-precision-class matmuls) and took 10.5% off
+# the bf16 b256 step on-chip (docs/results/train_mfu/slab_attn.json:
+# 11404 vs 12746 us; stack_b256.json confirms slab-only is the best
+# measured combination — the fused GN+SiLU+conv3 kernel LOST end-to-end
+# at every b256 arm and stays opt-in). Parity presets keep the XLA path
+# (bitwise continuity with earlier rounds' checkpoint evidence).
 V5E8_DP = ExperimentConfig(
     name="v5e8_dp",
-    model=_replace(ModelConfig(), name="condunet", dtype="bfloat16"),
+    model=_replace(ModelConfig(), name="condunet", dtype="bfloat16",
+                   attn_slab=True),
     train=_replace(TrainConfig(), batch_size=256),
     sample=SampleConfig(uncertainty_samples=1000, sampler="ddim",
                         ddim_steps=50),

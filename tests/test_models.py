@@ -295,3 +295,21 @@ def test_flash_kernel_parity_encoder_train_shape():
     ref = reference_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_v5e8_dp_preset_throughput_defaults():
+    """The throughput preset ships bf16 + slab attention (the measured
+    winners: slab_attn.json -10.5% b256 step, bf16_gate_r5.json fused-
+    core sampling parity); parity presets keep f32 + the XLA attention
+    path for bitwise continuity with earlier checkpoint evidence."""
+    from ertdx import configs
+    from ertdx.models import build_model
+
+    p = configs.PRESETS["v5e8_dp"]
+    assert p.model.dtype == "bfloat16"
+    assert p.model.attn_slab is True
+    assert build_model(p.model).attn_slab is True
+    for name in ("ref_default", "full_conditional"):
+        q = configs.PRESETS[name]
+        assert q.model.attn_slab is False
+        assert q.model.dtype == "float32"
