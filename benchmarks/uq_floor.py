@@ -91,8 +91,16 @@ def main() -> int:
         return time.perf_counter() - t0
 
     def t_readback():
+        # FRESH buffers each repeat: jax caches the fetched host copy on
+        # the Array object, so device_get of an already-fetched buffer
+        # measures ~0.1 ms regardless of size — round 4's "bulk readback
+        # 0.2 ms (3 MB)" was exactly that artifact. The tiny multiply
+        # forces new device buffers (its dispatch cost is the bare
+        # roundtrip, reported separately).
+        ph2 = phys_dev * jnp.float32(1.0)
+        mk2 = mask_dev & True
         t0 = time.perf_counter()
-        _ = jax.device_get((phys_dev, mask_dev))
+        _ = jax.device_get((ph2, mk2))
         return time.perf_counter() - t0
 
     def t_full():
